@@ -1,0 +1,96 @@
+"""Host-side frame loading: JPEG decode -> resize -> normalize -> NumPy NHWC.
+
+Replaces the reference's per-frame PIL->torch transform inside DataLoader
+workers (reference: data/datasets.py:376-431) with a thread-pooled decoder
+that emits NHWC float32 arrays — the natural TPU layout — and materialises a
+``TaskPlan`` into the reference's ``task_dict`` contract
+(data/datasets.py:584-597), with clips shaped (N, T, H, W, 3) instead of
+(N, T, 3, H, W).
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from orbit_tpu.data.index import NORMALIZE_STATS
+from orbit_tpu.data.sampling import TaskPlan
+
+
+class FrameLoader:
+    """Decodes and normalises frames listed in a ``TaskPlan``.
+
+    PIL releases the GIL during JPEG decode, so a thread pool gives real
+    parallelism without worker processes.
+    """
+
+    def __init__(self, frame_size: int, frame_norm_method: str, num_threads: int = 4):
+        self.frame_size = frame_size
+        stats = NORMALIZE_STATS[frame_norm_method]
+        self.mean = np.asarray(stats["mean"], dtype=np.float32)
+        self.std = np.asarray(stats["std"], dtype=np.float32)
+        self.num_threads = num_threads
+        self._pool = ThreadPoolExecutor(max_workers=num_threads) if num_threads > 1 else None
+        self._cache: Dict[str, np.ndarray] = {}
+        self._cache_cap = 0
+
+    def enable_cache(self, max_frames: int) -> None:
+        """Optionally memoise decoded (pre-normalised) frames across tasks.
+
+        The CLU-VE protocol samples 50 tasks per user from the same videos, so
+        frame reuse is high; the reference re-decodes every time (a major CPU
+        bottleneck noted in SURVEY.md §3.1 hot loop 1)."""
+        self._cache_cap = max_frames
+
+    def _decode(self, path: str) -> np.ndarray:
+        cached = self._cache.get(path) if self._cache_cap else None
+        if cached is None:
+            with Image.open(path) as im:
+                if im.mode != "RGB":
+                    im = im.convert("RGB")
+                if im.size != (self.frame_size, self.frame_size):
+                    im = im.resize((self.frame_size, self.frame_size), Image.LANCZOS)
+                cached = np.asarray(im, dtype=np.uint8)
+            if self._cache_cap and len(self._cache) < self._cache_cap:
+                self._cache[path] = cached
+        return cached
+
+    def load_frame(self, path: str) -> np.ndarray:
+        """(H, W, 3) float32, scaled to [0,1] then channel-normalised
+        (reference: load_and_transform_frame, datasets.py:422-431)."""
+        raw = self._decode(path).astype(np.float32) / 255.0
+        return (raw - self.mean) / self.std
+
+    def load_paths(self, paths: np.ndarray) -> np.ndarray:
+        """Load a flat list of frame paths -> (N, H, W, 3) float32."""
+        flat = list(paths.reshape(-1))
+        if self._pool is not None and len(flat) > 1:
+            frames = list(self._pool.map(self.load_frame, flat))
+        else:
+            frames = [self.load_frame(p) for p in flat]
+        out = np.stack(frames) if frames else np.zeros((0, self.frame_size, self.frame_size, 3), np.float32)
+        return out.reshape(paths.shape + (self.frame_size, self.frame_size, 3))
+
+    def load_task(self, plan: TaskPlan) -> Dict:
+        """Materialise a TaskPlan into the reference ``task_dict`` contract
+        (data/datasets.py:584-597), NHWC layout."""
+        task = {
+            "context_clips": self.load_paths(plan.context_paths),        # (N, T, H, W, 3)
+            "context_paths": plan.context_paths,
+            "context_labels": plan.context_labels,
+            "context_annotations": {},
+            "object_list": plan.object_list,
+            "task_id": plan.task_id,
+            "target_annotations": {},
+        }
+        if plan.target_paths is not None:   # train mode
+            task["target_clips"] = self.load_paths(plan.target_paths)
+            task["target_paths"] = plan.target_paths
+            task["target_labels"] = plan.target_labels
+        else:                               # test mode: per-video frame lists
+            task["target_clips"] = [self.load_paths(p) for p in plan.target_paths_by_video]
+            task["target_paths"] = plan.target_paths_by_video
+            task["target_labels"] = [np.int64(l) for l in plan.target_labels_by_video]
+        return task

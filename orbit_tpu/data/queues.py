@@ -1,0 +1,159 @@
+"""Task queues: background-prefetched streams of episodic tasks.
+
+Replaces the reference's torch DataLoader + worker processes
+(data/queues.py:8-79) with a thread-pipelined sample->decode stream: task
+*plans* are cheap (pure Python), so one producer thread plans and decodes
+ahead (PIL releases the GIL) while the device computes.
+"""
+from __future__ import annotations
+
+import queue as _queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional, Union
+
+from orbit_tpu.data.index import DatasetIndex, build_index
+from orbit_tpu.data.loader import FrameLoader
+from orbit_tpu.data.sampling import SamplingConfig, sample_task_plan, task_order
+
+
+class DatasetQueue:
+    """Queue of tasks sampled episodically from a DatasetIndex.
+
+    ``get_tasks()`` yields ``task_dict``s in the same order contract as the
+    reference (each user/object repeated num_tasks times; shuffled for train).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        way_method: str,
+        object_cap: Union[int, str],
+        shot_methods,
+        shots,
+        video_types,
+        subsample_factor: int,
+        clip_methods,
+        clip_length: int,
+        frame_size: int,
+        frame_norm_method: str,
+        annotations_to_load: Optional[List[str]] = None,
+        filter_by_annotations=(None, None),
+        num_tasks: int = 50,
+        test_mode: bool = False,
+        with_cluster_labels: bool = False,
+        with_caps: bool = False,
+        shuffle: bool = False,
+        num_threads: int = 4,
+        prefetch: int = 2,
+        seed: Optional[int] = None,
+        logfile=None,
+        object_centric: bool = False,
+    ):
+        self.index: DatasetIndex = build_index(
+            root,
+            context_type=video_types[0],
+            target_type=video_types[1],
+            frame_size=frame_size,
+            annotations_to_load=annotations_to_load,
+            filter_context=filter_by_annotations[0],
+            filter_target=filter_by_annotations[1],
+            with_cluster_labels=with_cluster_labels,
+            logfile=logfile,
+        )
+        self.cfg = SamplingConfig(
+            way_method=way_method,
+            object_cap=object_cap,
+            shot_method_context=shot_methods[0],
+            shot_method_target=shot_methods[1],
+            shot_context=shots[0],
+            shot_target=shots[1],
+            clip_method_context=clip_methods[0],
+            clip_method_target=clip_methods[1],
+            clip_length=clip_length,
+            subsample_factor=subsample_factor,
+            with_caps=with_caps,
+            test_mode=test_mode,
+        )
+        self.loader = FrameLoader(frame_size, frame_norm_method, num_threads=num_threads)
+        self.num_tasks = num_tasks
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self.with_cluster_labels = with_cluster_labels
+        self.object_centric = object_centric
+        self.rng = random.Random(seed)
+
+    # --- sizing -----------------------------------------------------------
+    @property
+    def num_users(self) -> int:
+        return self.index.num_users
+
+    def __len__(self) -> int:
+        return self.index.num_objects if self.object_centric else self.index.num_users
+
+    def get_num_users(self) -> int:
+        return self.num_users
+
+    def get_cluster_classes(self):
+        return self.index.cluster_classes
+
+    # --- task stream ------------------------------------------------------
+    def _plan(self, item: int):
+        if self.object_centric:
+            # object-centric: the task draws from ALL objects in the split
+            task_objects = list(range(self.index.num_objects))
+            task_id = self.index.obj2name[item]
+        else:
+            user = self.index.users[item]
+            task_objects = self.index.user2objs[user]
+            task_id = user
+        obj2cluster = self.index.obj2cluster if self.with_cluster_labels else None
+        return sample_task_plan(self.index, task_objects, task_id, self.cfg, self.rng, obj2cluster)
+
+    def get_tasks(self) -> Iterator[Dict]:
+        order = task_order(self.rng, len(self), self.num_tasks, self.shuffle)
+        if self.prefetch <= 0:
+            for item in order:
+                yield self.loader.load_task(self._plan(item))
+            return
+
+        # producer thread: plan + decode ahead of the consumer
+        out: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def produce():
+            try:
+                for item in order:
+                    out.put(self.loader.load_task(self._plan(item)))
+            except BaseException as e:  # surfaced on the consumer side
+                out.put(e)
+            finally:
+                out.put(_SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            got = out.get()
+            if got is _SENTINEL:
+                break
+            if isinstance(got, BaseException):
+                raise got
+            yield got
+
+
+class UserEpisodicDatasetQueue(DatasetQueue):
+    """User-centric episodes: one task == one user's objects
+    (reference: data/queues.py:42-59)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["object_centric"] = False
+        super().__init__(*args, **kwargs)
+
+
+class ObjectEpisodicDatasetQueue(DatasetQueue):
+    """Object-centric episodes: tasks draw from all objects in the split
+    (reference: data/queues.py:61-79)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["object_centric"] = True
+        super().__init__(*args, **kwargs)

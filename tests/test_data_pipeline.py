@@ -1,0 +1,228 @@
+"""Unit tests for the data layer: index scan, task sampling rules, loader
+shapes/normalisation, frame-history transform (SURVEY.md §4 test plan a/b)."""
+import random
+
+import numpy as np
+import pytest
+
+from orbit_tpu.data.index import build_index
+from orbit_tpu.data.loader import FrameLoader
+from orbit_tpu.data.sampling import (
+    SamplingConfig, TaskPlan, choose_videos, compute_way,
+    sample_clip_indices, sample_task_plan, task_order,
+)
+from orbit_tpu.data.transforms import attach_frame_history, get_batch_indices, unpack_task
+
+
+# ---------------------------------------------------------------- index ----
+def test_index_scan(orbit_fixture_tree):
+    idx = build_index(orbit_fixture_tree)
+    assert idx.users == ["P001", "P002"]
+    assert idx.num_objects == 5
+    assert len(idx.user2objs["P001"]) == 3
+    # every object has 2 clean (context) and 2 clutter (target) videos
+    for obj in range(idx.num_objects):
+        assert len(idx.obj2vids[obj]["context"]) == 2
+        assert len(idx.obj2vids[obj]["target"]) == 2
+    # frames sorted within each video
+    for frames in idx.vid2frames.values():
+        assert frames == sorted(frames)
+
+
+def test_index_clean_clean_split(orbit_fixture_tree):
+    idx = build_index(orbit_fixture_tree, context_type="clean", target_type="clean")
+    # 2 clean videos -> split=min(5, 1)=1 context, 1 target; but target needs
+    # >=50 frames and clean videos have 12 -> no valid objects
+    assert idx.num_objects == 0
+
+
+def test_index_annotation_filtering(orbit_fixture_tree):
+    # filter context frames to those WITH object_not_present_issue (1 in 7)
+    idx = build_index(
+        orbit_fixture_tree,
+        filter_context=["object_not_present_issue"],
+        annotations_to_load=["object_bounding_box"],
+    )
+    some_obj = idx.user2objs["P001"][0]
+    ctx_video = idx.obj2vids[some_obj]["context"][0]
+    # 12 clean frames -> frames 7 (f%7==6 -> f=6 i.e. frame 7) and 14(no) -> 1 frame
+    assert len(idx.vid2frames[ctx_video]) == 1
+    # bounding boxes were scaled from 1080 -> 224 and clamped
+    any_ann = next(iter(idx.frame2anns.values()))
+    bbox = any_ann["object_bounding_box"]
+    assert bbox.tolist() == [int(100 / 1080 * 224), int(120 / 1080 * 224), int(300 / 1080 * 224), int(280 / 1080 * 224)]
+
+
+# ------------------------------------------------------------- sampling ----
+def test_compute_way_rules():
+    rng = random.Random(0)
+    assert compute_way(rng, 10, "max", "max") == 10
+    assert compute_way(rng, 10, 4, "max") == 4
+    for _ in range(20):
+        w = compute_way(rng, 10, 15, "random")
+        assert 2 <= w <= 10
+
+
+def test_choose_videos_methods():
+    rng = random.Random(0)
+    videos = [f"v{i}" for i in range(8)]
+    assert choose_videos(rng, videos, 3, "specific", 15) == ["v0", "v1", "v2"]
+    fixed = choose_videos(rng, videos, 3, "fixed", 15)
+    assert len(fixed) == 3 and len(set(fixed)) == 3
+    rnd = choose_videos(rng, videos, 3, "random", 15)
+    assert 1 <= len(rnd) <= 8
+    mx = choose_videos(rng, videos, 3, "max", 5)
+    assert len(mx) == 5  # capped
+    # shot cap applies before availability
+    assert len(choose_videos(rng, videos, 10, "specific", 4)) == 4
+
+
+def test_sample_clip_indices_uniform_and_pad():
+    rng = random.Random(0)
+    # 10 frames, clip_length 4 -> padded to 12 with last frame, 3 clips
+    clips = sample_clip_indices(rng, 10, "max", 4, 30)
+    assert clips.shape == (3, 4)
+    assert clips[-1].tolist() == [8, 9, 9, 9]
+    # uniform with subsample 2 picks every 2nd clip
+    clips = sample_clip_indices(rng, 100, "uniform", 1, 2)
+    assert clips.reshape(-1).tolist() == list(range(0, 100, 2))
+
+
+def test_sample_clip_indices_random200():
+    rng = random.Random(0)
+    clips = sample_clip_indices(rng, 500, "random_200", 1, 30)
+    assert clips.shape == (200, 1)
+    assert len(np.unique(clips)) == 200
+    # short video: all clips
+    clips = sample_clip_indices(rng, 60, "random_200", 1, 30)
+    assert clips.shape == (60, 1)
+    # frame cap of 1000
+    clips = sample_clip_indices(rng, 5000, "max", 1, 30)
+    assert clips.shape == (1000, 1)
+
+
+def test_sample_clip_indices_random_clip_rows():
+    # with clip_length > 1, sampled clips must be contiguous frame rows
+    rng = random.Random(3)
+    clips = sample_clip_indices(rng, 64, "random", 8, 30)
+    for row in clips:
+        assert row.tolist() == list(range(row[0], row[0] + 8))
+        assert row[0] % 8 == 0
+
+
+def test_sample_task_plan_train(orbit_fixture_tree):
+    idx = build_index(orbit_fixture_tree)
+    cfg = SamplingConfig(
+        way_method="max", object_cap="max",
+        shot_method_context="max", shot_method_target="max",
+        clip_method_context="uniform", clip_method_target="random",
+        clip_length=1, subsample_factor=5, test_mode=False,
+    )
+    rng = random.Random(42)
+    plan = sample_task_plan(idx, idx.user2objs["P001"], "P001", cfg, rng)
+    assert plan.object_list == ["keys", "mug", "wallet"]  # scan order is sorted
+    assert plan.context_paths.shape[1] == 1
+    assert set(plan.context_labels) == {0, 1, 2}
+    assert plan.target_paths is not None
+    assert len(plan.target_paths) == len(plan.target_labels)
+
+
+def test_sample_task_plan_test_grouping(orbit_fixture_tree):
+    idx = build_index(orbit_fixture_tree)
+    cfg = SamplingConfig(
+        way_method="max", object_cap="max",
+        shot_method_context="max", shot_method_target="max",
+        clip_method_context="uniform", clip_method_target="random_200",
+        clip_length=1, subsample_factor=5, test_mode=True,
+    )
+    rng = random.Random(0)
+    plan = sample_task_plan(idx, idx.user2objs["P002"], "P002", cfg, rng)
+    # 2 objects x 2 target videos
+    assert len(plan.target_paths_by_video) == 4
+    assert sorted(set(plan.target_labels_by_video)) == [0, 1]
+    # each clutter video has 60 frames -> random_200 selects all 60
+    for v in plan.target_paths_by_video:
+        assert len(v) == 60
+        # frames within one video all share its directory
+        dirs = {p.rsplit("/", 1)[0] for p in v}
+        assert len(dirs) == 1
+
+
+def test_dynamic_shot_caps(orbit_fixture_tree):
+    idx = build_index(orbit_fixture_tree)
+    cfg = SamplingConfig(way_method="max", object_cap="max", with_caps=True,
+                         shot_method_context="max", shot_method_target="max",
+                         clip_method_context="uniform", clip_method_target="random")
+    rng = random.Random(0)
+    plan = sample_task_plan(idx, idx.user2objs["P001"], "P001", cfg, rng)
+    assert plan.context_paths is not None  # smoke: caps path runs
+
+
+def test_task_order():
+    rng = random.Random(0)
+    order = task_order(rng, 3, 2, shuffle=False)
+    assert order == [0, 0, 1, 1, 2, 2]
+    shuffled = task_order(rng, 3, 2, shuffle=True)
+    assert sorted(shuffled) == order
+
+
+def test_determinism(orbit_fixture_tree):
+    idx = build_index(orbit_fixture_tree)
+    cfg = SamplingConfig(way_method="random", object_cap="max",
+                         shot_method_context="random", shot_method_target="random",
+                         clip_method_context="uniform", clip_method_target="random")
+    p1 = sample_task_plan(idx, idx.user2objs["P001"], "P001", cfg, random.Random(7))
+    p2 = sample_task_plan(idx, idx.user2objs["P001"], "P001", cfg, random.Random(7))
+    assert np.array_equal(p1.context_paths, p2.context_paths)
+    assert np.array_equal(p1.context_labels, p2.context_labels)
+
+
+# --------------------------------------------------------------- loader ----
+def test_loader_shapes_and_normalisation(orbit_fixture_tree):
+    idx = build_index(orbit_fixture_tree)
+    cfg = SamplingConfig(way_method="max", object_cap="max",
+                         shot_method_context="max", shot_method_target="max",
+                         clip_method_context="uniform", clip_method_target="random_200",
+                         subsample_factor=5, test_mode=True)
+    plan = sample_task_plan(idx, idx.user2objs["P002"], "P002", cfg, random.Random(0))
+    loader = FrameLoader(frame_size=32, frame_norm_method="imagenet", num_threads=2)
+    task = loader.load_task(plan)
+    n_ctx = len(plan.context_paths)
+    assert task["context_clips"].shape == (n_ctx, 1, 32, 32, 3)
+    assert task["context_clips"].dtype == np.float32
+    assert isinstance(task["target_clips"], list)
+    assert task["target_clips"][0].shape == (60, 32, 32, 3)
+    # normalisation: values in plausible imagenet-normalised range
+    assert task["context_clips"].min() > -3.0 and task["context_clips"].max() < 3.5
+    ctx, cpaths, clabels, tgt, tpaths, tlabels, objs = unpack_task(task)
+    assert len(clabels) == n_ctx and len(objs) == 2
+
+
+def test_frame_cache(orbit_fixture_tree, tmp_path):
+    idx = build_index(orbit_fixture_tree)
+    loader = FrameLoader(frame_size=32, frame_norm_method="imagenet", num_threads=1)
+    loader.enable_cache(max_frames=10)
+    some_video = next(iter(idx.vid2frames.values()))
+    a = loader.load_frame(some_video[0])
+    b = loader.load_frame(some_video[0])
+    np.testing.assert_array_equal(a, b)
+
+
+# ----------------------------------------------------------- transforms ----
+def test_attach_frame_history():
+    frames = np.arange(5, dtype=np.float32).reshape(5, 1, 1, 1)
+    out = attach_frame_history(frames, 3)
+    assert out.shape == (5, 3, 1, 1, 1)
+    flat = out.reshape(5, 3)
+    # frame i's clip = [f_{i-2}, f_{i-1}, f_i] with left-padding by frame 0
+    assert flat[0].tolist() == [0, 0, 0]
+    assert flat[1].tolist() == [0, 0, 1]
+    assert flat[4].tolist() == [2, 3, 4]
+    # history_length=1 -> just adds the clip axis
+    out1 = attach_frame_history(frames, 1)
+    assert out1.shape == (5, 1, 1, 1, 1)
+
+
+def test_get_batch_indices():
+    assert get_batch_indices(0, 10, 4) == (0, 4)
+    assert get_batch_indices(2, 10, 4) == (8, 10)
