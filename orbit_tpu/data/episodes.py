@@ -1,0 +1,120 @@
+"""Fixed-shape padded episodes: the bridge between ragged host tasks and XLA.
+
+XLA compiles one program per input shape, but ORBIT tasks are ragged (way
+2-15, variable clips per video — SURVEY.md §7 hard part 1). This module pads
+``task_dict`` arrays into bucketed shapes with validity masks so the entire
+personalise/predict pipeline compiles once per bucket:
+
+- context/target clip counts    -> next size in ``SIZE_BUCKETS``
+- per-video frame counts (test) -> next size in ``VIDEO_BUCKETS``
+- class count                   -> fixed ``max_way`` (default 16)
+
+Masks make padding inert: padded rows carry label 0 and mask 0 (excluded from
+class means, covariance, CE and accuracy); padded classes are masked to -inf
+logits by the heads.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+SIZE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+VIDEO_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+MAX_WAY = 16
+
+
+def bucket_size(n: int, buckets: Sequence[int] = SIZE_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"{n} exceeds the largest bucket {buckets[-1]}")
+
+
+def pad_rows(arr: np.ndarray, target: int, fill=0) -> np.ndarray:
+    if arr.shape[0] == target:
+        return arr
+    pad_shape = (target - arr.shape[0],) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, dtype=arr.dtype)])
+
+
+@dataclass
+class Episode:
+    """One device-ready task (train mode: flat target; test: per-video)."""
+
+    context_clips: np.ndarray        # (N, T, H, W, 3) float32
+    context_labels: np.ndarray       # (N,) int32, padded rows = 0
+    context_mask: np.ndarray         # (N,) float32
+    num_classes: int                 # static bucket (= max_way)
+    class_mask: np.ndarray           # (C,) float32, 1 for real classes
+    way: int                         # actual number of classes
+    # train mode
+    target_clips: Optional[np.ndarray] = None
+    target_labels: Optional[np.ndarray] = None
+    target_mask: Optional[np.ndarray] = None
+    # test mode: per-video padded frame stacks
+    video_frames: Optional[List[np.ndarray]] = None   # each (F_b, H, W, 3)
+    video_masks: Optional[List[np.ndarray]] = None    # each (F_b,)
+    video_labels: Optional[List[int]] = None
+    video_paths: Optional[List[np.ndarray]] = None
+
+
+def pad_episode(task: Dict, max_way: int = MAX_WAY,
+                size_buckets: Sequence[int] = SIZE_BUCKETS,
+                video_buckets: Sequence[int] = VIDEO_BUCKETS) -> Episode:
+    """Pad a loader ``task_dict`` (orbit_tpu.data.loader.load_task) into a
+    fixed-shape Episode."""
+    ctx = np.asarray(task["context_clips"], np.float32)
+    labels = np.asarray(task["context_labels"], np.int64)
+    way = int(labels.max()) + 1 if labels.size else 0
+    n_bucket = bucket_size(ctx.shape[0], size_buckets)
+
+    episode = Episode(
+        context_clips=pad_rows(ctx, n_bucket),
+        context_labels=pad_rows(labels.astype(np.int32), n_bucket),
+        context_mask=pad_rows(np.ones(ctx.shape[0], np.float32), n_bucket),
+        num_classes=max_way,
+        class_mask=pad_rows(np.ones(way, np.float32), max_way),
+        way=way,
+    )
+
+    target = task.get("target_clips")
+    if isinstance(target, list):                      # test mode: per video
+        episode.video_frames, episode.video_masks = [], []
+        episode.video_labels = [int(l) for l in task["target_labels"]]
+        episode.video_paths = list(task["target_paths"])
+        for video in target:
+            v = np.asarray(video, np.float32)
+            f_bucket = bucket_size(v.shape[0], video_buckets)
+            episode.video_frames.append(pad_rows(v, f_bucket))
+            episode.video_masks.append(pad_rows(np.ones(v.shape[0], np.float32), f_bucket))
+    elif target is not None:                          # train mode: flat
+        tgt = np.asarray(target, np.float32)
+        t_labels = np.asarray(task["target_labels"], np.int64).astype(np.int32)
+        m_bucket = bucket_size(tgt.shape[0], size_buckets)
+        episode.target_clips = pad_rows(tgt, m_bucket)
+        episode.target_labels = pad_rows(t_labels, m_bucket)
+        episode.target_mask = pad_rows(np.ones(tgt.shape[0], np.float32), m_bucket)
+    return episode
+
+
+def batch_episodes(episodes: Sequence[Episode]) -> Episode:
+    """Stack same-bucket train episodes into a leading task axis for
+    episode-data-parallel training (SURVEY.md §2.9). All episodes must share
+    bucket shapes; the caller groups them."""
+    first = episodes[0]
+    assert all(e.context_clips.shape == first.context_clips.shape for e in episodes)
+    assert all(e.target_clips is not None for e in episodes)
+    assert all(e.target_clips.shape == first.target_clips.shape for e in episodes)
+    return Episode(
+        context_clips=np.stack([e.context_clips for e in episodes]),
+        context_labels=np.stack([e.context_labels for e in episodes]),
+        context_mask=np.stack([e.context_mask for e in episodes]),
+        num_classes=first.num_classes,
+        class_mask=np.stack([e.class_mask for e in episodes]),
+        way=max(e.way for e in episodes),
+        target_clips=np.stack([e.target_clips for e in episodes]),
+        target_labels=np.stack([e.target_labels for e in episodes]),
+        target_mask=np.stack([e.target_mask for e in episodes]),
+    )

@@ -1,0 +1,152 @@
+"""Vision Transformers (ViT-S/32, ViT-B/32, ViT-B/32-CLIP) in Flax, NHWC.
+
+Capability parity with the reference's timm ViTs
+(reference: model/feature_extractors.py:49-64):
+- ``vit_s_32``  = timm vit_small_patch32_224_in21k  (dim 384, depth 12, heads 6)
+- ``vit_b_32``  = timm vit_base_patch32_224_in21k   (dim 768, depth 12, heads 12)
+- ``vit_b_32_clip`` = timm vit_base_patch32_224_clip_laion2b (dim 768 + pre-norm)
+
+Output is the class token after the final LayerNorm (timm ``num_classes=0``,
+token pooling). FiLM adaptation (reference: model/film.py:57-66 tags every
+LayerNorm named norm/norm1/norm2) is realised functionally: the FiLM spec
+(`film_spec`) names each block's norm1/norm2 and the final norm scale/bias in
+the Flax param tree, and the caller overrides those leaves before ``apply``
+— the JAX equivalent of torch's ``functional_call`` with a film dict
+(reference: model/few_shot_recognisers.py:115).
+
+TPU notes: all heavy math is batched matmul (MXU-friendly); attention uses
+``jax.nn.dot_product_attention``; ``dtype`` selects the compute precision
+(bfloat16 recommended) while params stay float32.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, s, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(n, s, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = jax.nn.dot_product_attention(q, k, v)  # (n, s, h, hd), fused on TPU
+        out = out.reshape(n, s, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    ln_eps: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
+        x = x + MlpBlock(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h)
+        return x
+
+
+class ViT(nn.Module):
+    """Patch-embedding ViT with class-token pooling (timm-compatible layout)."""
+
+    patch_size: int = 32
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    pre_norm: bool = False       # CLIP-style ln_pre after patch embed
+    ln_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (N, H, W, 3) normalised frames
+        n = x.shape[0]
+        x = nn.Conv(
+            self.dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID", dtype=self.dtype, name="patch_embed",
+        )(x)
+        x = x.reshape(n, -1, self.dim)  # (N, num_patches, D)
+        num_patches = x.shape[1]
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, num_patches + 1, self.dim),
+        )
+        x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (n, 1, 1)), x], axis=1)
+        x = x + pos.astype(x.dtype)
+
+        if self.pre_norm:
+            x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm_pre")(x)
+
+        for i in range(self.depth):
+            x = EncoderBlock(
+                self.dim, self.num_heads, self.mlp_ratio, self.ln_eps,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(x)
+
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)
+        return x[:, 0].astype(jnp.float32)  # class token, (N, D)
+
+
+def vit_film_spec(depth: int, dim: int) -> List[Tuple[Tuple[str, ...], int]]:
+    """FiLM-able LayerNorm scale/bias leaves, in sorted-name order.
+
+    Mirrors the reference's tagging of LayerNorms named norm/norm1/norm2
+    (reference: model/film.py:57-66); ``norm_pre`` (CLIP) is deliberately NOT
+    tagged, matching the reference's name filter.
+    """
+    spec: List[Tuple[Tuple[str, ...], int]] = []
+    for i in range(depth):
+        for ln in ("norm1", "norm2"):
+            spec.append(((f"blocks_{i}", ln, "scale"), dim))
+            spec.append(((f"blocks_{i}", ln, "bias"), dim))
+    spec.append((("norm", "scale"), dim))
+    spec.append((("norm", "bias"), dim))
+    return spec
+
+
+def create_vit(name: str, dtype: Dtype = jnp.float32):
+    """Factory: name -> (module, output_size, film_spec)."""
+    if name == "vit_s_32":
+        m = ViT(patch_size=32, dim=384, depth=12, num_heads=6, ln_eps=1e-6, dtype=dtype)
+        return m, 384, vit_film_spec(12, 384)
+    if name == "vit_b_32":
+        m = ViT(patch_size=32, dim=768, depth=12, num_heads=12, ln_eps=1e-6, dtype=dtype)
+        return m, 768, vit_film_spec(12, 768)
+    if name == "vit_b_32_clip":
+        m = ViT(patch_size=32, dim=768, depth=12, num_heads=12, pre_norm=True, ln_eps=1e-5, dtype=dtype)
+        return m, 768, vit_film_spec(12, 768)
+    raise ValueError(f"Unknown ViT variant: {name}")

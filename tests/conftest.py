@@ -6,10 +6,15 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may pin a TPU platform
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# A pytest plugin may import jax before this conftest runs, in which case the
+# env var above is too late — force the platform through the config API too.
+import jax
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
