@@ -1,0 +1,302 @@
+"""Multi-step learner: gradient-based per-task personalisation (FineTuner).
+
+Reference equivalent: multi-step-learner.py:48-228 +
+model/few_shot_recognisers.py:185-269. Test-only, like the reference
+(utils/args.py:212-214 rejects train mode).
+
+TPU-native design: the reference's Python double loop (num_grad_steps x
+context batches, fresh model clone + optimizer per task) compiles to ONE XLA
+program per episode bucket — a ``lax.scan`` over gradient steps whose carry
+is (task_params, inner optimiser state). Nothing is cloned: the meta-trained
+variables are immutable, per-task trainables are a fresh zero-init pytree
+(SURVEY.md §7 hard part 7).
+
+Optimisation over the reference (documented): when ``adapt_features`` is off,
+the backbone output cannot change during finetuning, so context features are
+embedded ONCE and the inner loop trains only the linear head on cached
+features — numerically identical logits/gradients to the reference, which
+re-runs the frozen backbone every batch of every grad step
+(few_shot_recognisers.py:237-240), but ~``num_grad_steps``x fewer backbone
+FLOPs. With FiLM finetuning the backbone is re-run per step (it must be), in
+context batches like the reference, with gradients flowing only to the FiLM
+leaves and head.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from orbit_tpu.data.dataloaders import DataLoader
+from orbit_tpu.data.episodes import pad_episode
+from orbit_tpu.data.transforms import attach_frame_history
+from orbit_tpu.models import heads as heads_lib
+from orbit_tpu.models.recognisers import MultiStepFewShotRecogniser
+from orbit_tpu.utils.checkpoint import maybe_load_params
+from orbit_tpu.utils.eval_metrics import TestEvaluator
+from orbit_tpu.utils.logging import get_log_files, print_and_log, stats_to_str
+from orbit_tpu.utils.optim import cross_entropy
+
+
+def _inner_optimizer(args, task_params):
+    """Per-task optimiser on (head, film) trainables, mirroring the
+    reference's personalize_* hyperparameters (multi-step-learner.py:157-169,
+    utils/optim.py:11-32). FiLM leaves get ``personalize_extractor_lr_scale``
+    (they live in the extractor param group in the reference)."""
+    if args.personalize_optimizer == "adam":
+        core = optax.scale_by_adam(b1=args.personalize_betas[0],
+                                   b2=args.personalize_betas[1],
+                                   eps=args.personalize_epsilon)
+    else:
+        m = args.personalize_momentum
+        core = optax.trace(decay=m) if m else optax.identity()
+    steps = []
+    if args.personalize_weight_decay:
+        steps.append(optax.add_decayed_weights(args.personalize_weight_decay))
+    steps.append(core)
+    if "film" in task_params and args.personalize_extractor_lr_scale != 1.0:
+        mask = {k: jax.tree_util.tree_map(lambda _: k == "film", v)
+                for k, v in task_params.items()}
+        steps.append(optax.masked(optax.scale(args.personalize_extractor_lr_scale), mask))
+    steps.append(optax.scale(-args.personalize_learning_rate))
+    return optax.chain(*steps)
+
+
+def build_finetune_fns(recogniser: MultiStepFewShotRecogniser, args):
+    """(personalise, predict) jitted fns for the FineTuner protocol."""
+    num_grad_steps = args.personalize_num_grad_steps
+    batch_size = args.batch_size
+    logit_scale = recogniser.logit_scale
+
+    @jax.jit
+    def personalise(variables, ctx_clips, ctx_labels, ctx_mask, class_mask):
+        num_classes = class_mask.shape[0]
+        task_params = recogniser.init_task_params(variables, num_classes)
+        tx = _inner_optimizer(args, task_params)
+        opt_state = tx.init(task_params)
+        total = jnp.maximum(ctx_mask.astype(jnp.float32).sum(), 1.0)
+
+        if not recogniser.adapt_features:
+            # frozen backbone: embed once, finetune the head on cached features
+            feats = recogniser.embed_clips(variables, ctx_clips, None,
+                                           train=False, with_grad=False)
+
+            def loss_fn(tp):
+                logits = heads_lib.predict_linear(tp["head"], feats,
+                                                  logit_scale=logit_scale,
+                                                  class_mask=class_mask)
+                # sum/total == the reference's per-batch means scaled by
+                # batch_len/total, summed (few_shot_recognisers.py:241-242)
+                return cross_entropy(logits, ctx_labels, ctx_mask,
+                                     reduction="sum") / total
+
+            def step(carry, _):
+                tp, os_ = carry
+                grads = jax.grad(loss_fn)(tp)
+                updates, os_ = tx.update(grads, os_, tp)
+                return (optax.apply_updates(tp, updates), os_), None
+
+            (task_params, _), _ = jax.lax.scan(
+                step, (task_params, opt_state), None, length=num_grad_steps)
+            return task_params
+
+        # FiLM finetuning: backbone re-run per step, in context batches
+        n = ctx_clips.shape[0]
+        nb = (n + batch_size - 1) // batch_size
+        pad = nb * batch_size - n
+
+        def pad0(x):
+            return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+
+        b_clips = pad0(ctx_clips).reshape(nb, batch_size, *ctx_clips.shape[1:])
+        b_labels = pad0(ctx_labels).reshape(nb, batch_size)
+        b_mask = pad0(ctx_mask).reshape(nb, batch_size)
+
+        def batch_loss(tp, clips_b, labels_b, mask_b):
+            feats = recogniser.embed_clips(variables, clips_b, tp["film"],
+                                           train=False, with_grad=True)
+            logits = heads_lib.predict_linear(tp["head"], feats,
+                                              logit_scale=logit_scale,
+                                              class_mask=class_mask)
+            return cross_entropy(logits, labels_b, mask_b, reduction="sum") / total
+
+        grad_fn = jax.grad(batch_loss)
+
+        def grad_step(carry, _):
+            tp, os_ = carry
+
+            def accum(g, xs):
+                clips_b, labels_b, mask_b = xs
+                return steps_tree_add(g, grad_fn(tp, clips_b, labels_b, mask_b)), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, tp)
+            grads, _ = jax.lax.scan(accum, zeros, (b_clips, b_labels, b_mask))
+            updates, os_ = tx.update(grads, os_, tp)
+            return (optax.apply_updates(tp, updates), os_), None
+
+        (task_params, _), _ = jax.lax.scan(
+            grad_step, (task_params, opt_state), None, length=num_grad_steps)
+        return task_params
+
+    @jax.jit
+    def predict(variables, task_params, clips, class_mask):
+        return recogniser.task_logits(variables, task_params, clips,
+                                      class_mask=class_mask, with_grad=False)
+
+    return personalise, predict
+
+
+def steps_tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+class MultiStepLearner:
+    def __init__(self, args):
+        self.args = args
+        (self.checkpoint_dir, self.logfile, _, _) = get_log_files(
+            args.checkpoint_dir, args.model_path)
+        print_and_log(self.logfile, f"options: {vars(args)}")
+        print_and_log(self.logfile, f"checkpoint dir: {self.checkpoint_dir}")
+
+        np.random.seed(args.seed)
+        self.rng = jax.random.PRNGKey(args.seed)
+
+        self.init_dataset()
+        self.init_model()
+        self.init_evaluators()
+        self.personalise_fn, self.predict_fn = build_finetune_fns(self.recogniser, args)
+
+    def init_dataset(self):
+        args = self.args
+        dataset_info = {
+            "mode": "test",
+            "data_path": args.data_path,
+            "test_set": args.test_set,
+            "test_object_cap": args.test_object_cap,
+            "test_way_method": args.test_way_method,
+            "test_shot_methods": (args.test_context_shot_method, args.test_target_shot_method),
+            "shots": (args.context_shot, args.target_shot),
+            "video_types": (args.context_video_type, args.target_video_type),
+            "test_clip_methods": (args.test_context_clip_method, args.test_target_clip_method),
+            "clip_length": args.clip_length,
+            "num_test_tasks": args.num_test_tasks,
+            "subsample_factor": args.subsample_factor,
+            "frame_size": args.frame_size,
+            "frame_norm_method": args.frame_norm_method,
+            "annotations_to_load": args.annotations_to_load,
+            "test_filter_by_annotations": (args.test_filter_context, args.test_filter_target),
+            "num_data_threads": args.num_data_threads,
+            "seed": args.seed,
+            "logfile": self.logfile,
+        }
+        self.test_queue = DataLoader(dataset_info).get_test_queue()
+
+    def init_model(self):
+        args = self.args
+        self.recogniser = MultiStepFewShotRecogniser(
+            feature_extractor_name=args.feature_extractor,
+            adapt_features=args.adapt_features,
+            classifier=args.classifier,
+            clip_length=args.clip_length,
+            batch_size=args.batch_size,
+            learn_extractor=args.learn_extractor,
+            logit_scale=args.logit_scale,
+            dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
+        )
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.variables = self.recogniser.init(init_rng, frame_size=args.frame_size)
+        pretrained = getattr(args, "pretrained_extractor_path", None)
+        if pretrained and os.path.exists(pretrained):
+            from orbit_tpu.models.convert import load_pretrained_extractor
+            self.variables = load_pretrained_extractor(self.variables, pretrained)
+            print_and_log(self.logfile, f"loaded pretrained extractor: {pretrained}")
+
+    def init_evaluators(self):
+        # The compiled personalise program already contains the backward pass,
+        # so its FLOPs are counted directly (no thop-style x2 multiplier —
+        # reference: multi-step-learner.py:126, ops_counter.py:13).
+        self.test_evaluator = TestEvaluator(["frame_acc"], self.checkpoint_dir,
+                                            with_ops_counter=True,
+                                            count_backwards=False)
+
+    def run(self):
+        self.test(self.args.model_path)
+        self.logfile.close()
+
+    def test(self, path: Optional[str], save_evaluator: bool = True):
+        args = self.args
+        self.variables, used = maybe_load_params(path, self.variables, self.logfile)
+        evaluator = self.test_evaluator
+        evaluator.set_base_params(self.variables["params"])
+        num_context_clips_per_task, num_target_clips_per_task = [], []
+        num_total_tasks = self.test_queue.num_users * args.num_test_tasks
+
+        for step, task_dict in enumerate(self.test_queue.get_tasks()):
+            ep = pad_episode(task_dict)
+            evaluator.set_task_object_list(task_dict["object_list"])
+
+            ctx = (jnp.asarray(ep.context_clips), jnp.asarray(ep.context_labels),
+                   jnp.asarray(ep.context_mask), jnp.asarray(ep.class_mask))
+            t1 = time.time()
+            task_params = self.personalise_fn(self.variables, *ctx)
+            # host readback = true sync (block_until_ready is a no-op through
+            # the tunnel)
+            np.asarray(jax.tree_util.tree_leaves(task_params["head"])[0])
+            evaluator.log_time(time.time() - t1, "personalise")
+            evaluator.ops_counter.compute_macs("personalise_ft", self.personalise_fn,
+                                               self.variables, *ctx)
+
+            num_target_clips = 0
+            for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,
+                                                  ep.video_labels, ep.video_paths):
+                clips = jnp.asarray(attach_frame_history(frames, args.clip_length))
+                n_real = int(mask.sum())
+                t1 = time.time()
+                logits = np.asarray(self.predict_fn(self.variables, task_params, clips,
+                                                    jnp.asarray(ep.class_mask)))
+                evaluator.log_time((time.time() - t1) / float(n_real * args.clip_length),
+                                   "inference")
+                evaluator.append_video(logits[:n_real], label, paths)
+                num_target_clips += n_real
+
+            num_context_clips_per_task.append(int(ep.context_mask.sum()))
+            num_target_clips_per_task.append(num_target_clips)
+            evaluator.task_complete()
+
+            if (step + 1) % args.num_test_tasks == 0:
+                evaluator.set_current_user(task_dict["task_id"])
+                _, _, _, video_stats = evaluator.get_mean_stats(current_user=True)
+                macs_mean, _, _, _ = evaluator.get_mean_ops_counter_stats(current_user=True)
+                print_and_log(self.logfile,
+                              f"{args.test_set} user {task_dict['task_id']} "
+                              f"({evaluator.current_user + 1}/{self.test_queue.num_users}) stats: "
+                              f"{stats_to_str(video_stats)}, avg MACs to personalise/task: {macs_mean}, "
+                              f"avg # context clips/task: {np.mean(num_context_clips_per_task):.0f}, "
+                              f"avg # target clips/task: {np.mean(num_target_clips_per_task):.0f}")
+                if (step + 1) < num_total_tasks:
+                    num_context_clips_per_task, num_target_clips_per_task = [], []
+                    evaluator.next_user()
+            else:
+                evaluator.next_task()
+
+        stats_user, stats_obj, stats_task, stats_video = evaluator.get_mean_stats()
+        mean_macs, std_macs, mean_params, params_breakdown = evaluator.get_mean_ops_counter_stats()
+        p_mean, p_std, i_mean, i_std = evaluator.get_mean_times()
+        print_and_log(self.logfile, (
+            f"{args.test_set} [{used or path}]\n"
+            f"Frame accuracy (averaged per user): {stats_to_str(stats_user)}\n"
+            f"Frame accuracy (averaged per object): {stats_to_str(stats_obj)}\n"
+            f"Frame accuracy (averaged per task): {stats_to_str(stats_task)}\n"
+            f"Frame accuracy (averaged per video): {stats_to_str(stats_video)}\n"
+            f"Time to personalise (averaged per task) {p_mean} ({p_std})\n"
+            f"Inference time per frame (averaged per task): {i_mean} ({i_std})\n"
+            f"MACs to personalise (averaged per task): {mean_macs} ({std_macs})\n"
+            f"Number of params: {mean_params} ({params_breakdown})\n"))
+        if save_evaluator:
+            evaluator.save()
+        evaluator.reset()

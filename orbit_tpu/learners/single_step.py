@@ -1,0 +1,364 @@
+"""Single-step learner: meta-train / validate / test driver for
+ProtoNets / CNAPs / SimpleCNAPs style recognisers.
+
+Reference equivalent: single-step-learner.py:48-393 — same run modes
+(``train``/``test``/``train_test``), gradient accumulation over
+``tasks_per_batch`` tasks, optional LITE, per-epoch checkpoint + validation
+with best-model tracking, and the CLU-VE test protocol with timers and MACs.
+
+TPU-native differences:
+- tasks arrive as fixed-shape padded episodes (orbit_tpu.data.episodes) so
+  each bucket shape compiles once; the per-task train step is a single XLA
+  program (orbit_tpu.learners.steps).
+- episode-data-parallel training over a JAX device mesh when
+  ``--data_parallel > 1`` (orbit_tpu.parallel) — the idiomatic upgrade of the
+  reference's single-GPU gradient accumulation (SURVEY.md §2.9).
+- checkpoint/resume is wired in (the reference's load_checkpoint helper is
+  dead code, single-step-learner.py:385-390).
+"""
+from __future__ import annotations
+
+import os
+import random
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbit_tpu.data.dataloaders import DataLoader
+from orbit_tpu.data.episodes import pad_episode
+from orbit_tpu.data.transforms import attach_frame_history
+from orbit_tpu.learners import steps as steps_lib
+from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+from orbit_tpu.utils.checkpoint import load_checkpoint, maybe_load_params, save_checkpoint
+from orbit_tpu.utils.eval_metrics import TestEvaluator, TrainEvaluator, ValidationEvaluator
+from orbit_tpu.utils.logging import get_log_files, print_and_log, stats_to_str
+from orbit_tpu.utils.optim import (get_curr_learning_rates, init_optimizer,
+                                   make_lr_schedule, set_learning_rate)
+
+
+def episode_to_train_dict(ep) -> Dict[str, jnp.ndarray]:
+    return {
+        "context_clips": jnp.asarray(ep.context_clips),
+        "context_labels": jnp.asarray(ep.context_labels),
+        "context_mask": jnp.asarray(ep.context_mask),
+        "class_mask": jnp.asarray(ep.class_mask),
+        "target_clips": jnp.asarray(ep.target_clips),
+        "target_labels": jnp.asarray(ep.target_labels),
+        "target_mask": jnp.asarray(ep.target_mask),
+    }
+
+
+class SingleStepLearner:
+    def __init__(self, args):
+        self.args = args
+        (self.checkpoint_dir, self.logfile, self.checkpoint_path_validation,
+         self.checkpoint_path_final) = get_log_files(args.checkpoint_dir, args.model_path)
+
+        print_and_log(self.logfile, f"options: {vars(args)}")
+        print_and_log(self.logfile, f"checkpoint dir: {self.checkpoint_dir}")
+        print_and_log(self.logfile, f"jax devices: {jax.devices()}")
+
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+        self.rng = jax.random.PRNGKey(args.seed)
+
+        self.init_dataset()
+        self.init_model()
+        self.init_evaluators()
+
+        self.train_fn = None
+        self.personalise_fn, self.predict_fn = steps_lib.build_eval_fns(self.recogniser)
+        self.start_epoch = 0
+
+    # ----------------------------------------------------------- setup ----
+    def init_dataset(self):
+        args = self.args
+        dataset_info = {
+            "mode": args.mode,
+            "data_path": args.data_path,
+            "test_set": args.test_set,
+            "train_object_cap": args.train_object_cap,
+            "test_object_cap": args.test_object_cap,
+            "with_train_shot_caps": args.with_train_shot_caps,
+            "with_cluster_labels": False,
+            "train_way_method": args.train_way_method,
+            "test_way_method": args.test_way_method,
+            "train_shot_methods": (args.train_context_shot_method, args.train_target_shot_method),
+            "test_shot_methods": (args.test_context_shot_method, args.test_target_shot_method),
+            "shots": (args.context_shot, args.target_shot),
+            "video_types": (args.context_video_type, args.target_video_type),
+            "train_clip_methods": (args.train_context_clip_method, args.train_target_clip_method),
+            "test_clip_methods": (args.test_context_clip_method, args.test_target_clip_method),
+            "clip_length": args.clip_length,
+            "num_train_tasks": args.num_train_tasks,
+            "num_val_tasks": args.num_val_tasks,
+            "num_test_tasks": args.num_test_tasks,
+            "subsample_factor": args.subsample_factor,
+            "frame_size": args.frame_size,
+            "frame_norm_method": args.frame_norm_method,
+            "annotations_to_load": args.annotations_to_load,
+            "train_filter_by_annotations": (args.train_filter_context, args.train_filter_target),
+            "test_filter_by_annotations": (args.test_filter_context, args.test_filter_target),
+            "train_task_type": args.train_task_type,
+            "num_data_threads": args.num_data_threads,
+            "seed": args.seed,
+            "logfile": self.logfile,
+        }
+        dataloader = DataLoader(dataset_info)
+        self.train_queue = dataloader.get_train_queue()
+        self.validation_queue = dataloader.get_validation_queue()
+        self.test_queue = dataloader.get_test_queue()
+
+    def init_model(self):
+        args = self.args
+        self.recogniser = SingleStepFewShotRecogniser(
+            feature_extractor_name=args.feature_extractor,
+            adapt_features=args.adapt_features,
+            classifier=args.classifier,
+            clip_length=args.clip_length,
+            batch_size=args.batch_size,
+            learn_extractor=args.learn_extractor,
+            num_lite_samples=args.num_lite_samples,
+            logit_scale=args.logit_scale,
+            dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
+        )
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.variables = self.recogniser.init(init_rng, frame_size=args.frame_size)
+        pretrained = getattr(args, "pretrained_extractor_path", None)
+        if pretrained and os.path.exists(pretrained):
+            from orbit_tpu.models.convert import load_pretrained_extractor
+            self.variables = load_pretrained_extractor(self.variables, pretrained)
+            print_and_log(self.logfile, f"loaded pretrained extractor: {pretrained}")
+
+    def init_evaluators(self):
+        self.evaluation_metrics = ["frame_acc"]
+        self.train_evaluator = TrainEvaluator(self.evaluation_metrics)
+        self.validation_evaluator = ValidationEvaluator(self.evaluation_metrics)
+        self.test_evaluator = TestEvaluator(
+            self.evaluation_metrics, self.checkpoint_dir, with_ops_counter=True)
+
+    # ------------------------------------------------------------- run ----
+    def run(self):
+        args = self.args
+        if "train" in args.mode:
+            self.train()
+        if args.mode == "train_test":
+            self.test(self.checkpoint_path_final, save_evaluator=False)
+            self.test(self.checkpoint_path_validation)
+        if args.mode == "test":
+            self.test(args.model_path)
+        self.logfile.close()
+
+    # ----------------------------------------------------------- train ----
+    def train(self):
+        args = self.args
+        params = self.variables["params"]
+        rest = {k: v for k, v in self.variables.items() if k != "params"}
+        tx, opt_state = init_optimizer(params, args,
+                                       extractor_lr_scale=args.extractor_lr_scale)
+        schedule = make_lr_schedule(args)
+        apply_update = steps_lib.build_apply_update(tx)
+        build = (steps_lib.build_train_task_lite if args.with_lite
+                 else steps_lib.build_train_task)
+        self.train_fn = build(self.recogniser, args)
+
+        resume_from = getattr(args, "resume_from", None)
+        if resume_from and os.path.exists(resume_from):
+            template = {"epoch": 0, "variables": self.variables, "opt_state": opt_state,
+                        "best_stats": self.validation_evaluator.get_current_best_stats()}
+            ckpt = load_checkpoint(resume_from, template)
+            self.start_epoch = int(ckpt["epoch"])
+            self.variables = ckpt["variables"]
+            params = self.variables["params"]
+            rest = {k: v for k, v in self.variables.items() if k != "params"}
+            opt_state = ckpt["opt_state"]
+            self.validation_evaluator.replace(ckpt["best_stats"])
+            print_and_log(self.logfile, f"resumed from {resume_from} at epoch {self.start_epoch}")
+
+        dp = getattr(args, "data_parallel", 1)
+        if dp > 1:
+            from orbit_tpu.parallel import EpisodeDataParallel
+            self.edp = EpisodeDataParallel(self.recogniser, args, tx)
+
+        num_updates = 0
+        for epoch in range(self.start_epoch, args.epochs):
+            losses = []
+            since = time.time()
+            opt_state = set_learning_rate(opt_state, schedule(epoch))
+
+            grads_acc = None
+            tasks = list(self.train_queue.get_tasks()) if dp > 1 else self.train_queue.get_tasks()
+            if dp > 1:
+                params, opt_state, epoch_losses = self.edp.train_epoch(
+                    params, rest, opt_state, tasks, self._next_rng,
+                    self.train_evaluator)
+                losses.extend(epoch_losses)
+                num_updates += max(1, len(tasks) // args.tasks_per_batch)
+            else:
+                total_steps = self.train_queue.num_users * args.num_train_tasks
+                for step, task_dict in enumerate(tasks):
+                    t1 = time.time()
+                    ep = pad_episode(task_dict)
+                    ep_dict = episode_to_train_dict(ep)
+                    grads, loss, logits = self.train_fn(
+                        {"params": params, **rest}, ep_dict, self._next_rng())
+                    loss = float(loss)
+                    losses.append(loss)
+                    n_valid = int(ep.target_mask.sum())
+                    self.train_evaluator.update_stats(
+                        np.asarray(logits)[:n_valid, :ep.way],
+                        np.asarray(ep.target_labels)[:n_valid])
+                    grads_acc = grads if grads_acc is None else steps_lib.accumulate_grads(grads_acc, grads)
+
+                    if args.print_by_step:
+                        current = stats_to_str(self.train_evaluator.get_current_stats())
+                        task_time = time.time() - t1
+                        print_and_log(self.logfile,
+                                      f"epoch [{epoch + 1}/{args.epochs}][{step + 1}/{total_steps}], "
+                                      f"train loss: {loss:.7f}, {current.strip()}, "
+                                      f"time/task: {int(task_time / 60):d}m{int(task_time % 60):02d}s")
+
+                    if ((step + 1) % args.tasks_per_batch == 0) or (step == total_steps - 1):
+                        params, opt_state = apply_update(params, opt_state, grads_acc)
+                        grads_acc = None
+                        num_updates += 1
+
+            self.variables = {"params": params, **rest}
+            mean_stats = self.train_evaluator.get_mean_stats()
+            mean_loss = float(np.mean(losses)) if losses else 0.0
+            lr, fe_lr = get_curr_learning_rates(opt_state, args.extractor_lr_scale)
+            seconds = time.time() - since
+            print_and_log(self.logfile, "-" * 120)
+            print_and_log(self.logfile,
+                          f"epoch [{epoch + 1}/{args.epochs}] train loss: {mean_loss:.7f} "
+                          f"{stats_to_str(mean_stats)} lr: {lr:.3e} fe-lr: {fe_lr:.3e} "
+                          f"time/epoch: {int(seconds / 60):d}m{int(seconds % 60):02d}s")
+            print_and_log(self.logfile, "-" * 120)
+            self.train_evaluator.reset()
+
+            save_checkpoint(os.path.join(self.checkpoint_dir, "checkpoint.ckpt"), {
+                "epoch": epoch + 1,
+                "variables": self.variables,
+                "opt_state": opt_state,
+                "best_stats": self.validation_evaluator.get_current_best_stats(),
+            })
+
+            if (epoch + 1) >= args.validation_on_epoch:
+                self.validate()
+
+        save_checkpoint(self.checkpoint_path_final, self.variables)
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # -------------------------------------------------------- validate ----
+    def validate(self):
+        evaluator = self.validation_evaluator
+        self._run_eval_protocol(self.validation_queue, evaluator,
+                                self.args.num_val_tasks, "validation",
+                                with_timing=False)
+        _, _, _, stats_per_video = evaluator.get_mean_stats()
+        print_and_log(self.logfile,
+                      f"validation per-video stats: {stats_to_str(stats_per_video)}\n")
+        if evaluator.is_better(stats_per_video):
+            evaluator.replace(stats_per_video)
+            save_checkpoint(self.checkpoint_path_validation, self.variables)
+            print_and_log(self.logfile, "best validation model was updated.\n")
+        evaluator.reset()
+
+    # ------------------------------------------------------------ test ----
+    def test(self, path: Optional[str], save_evaluator: bool = True):
+        self.init_model()  # fresh init (reference: test re-inits, :300)
+        self.variables, used = maybe_load_params(path, self.variables, self.logfile)
+        evaluator = self.test_evaluator
+        evaluator.set_base_params(self.variables["params"])
+
+        self._run_eval_protocol(self.test_queue, evaluator,
+                                self.args.num_test_tasks, self.args.test_set,
+                                with_timing=True)
+
+        stats_user, stats_obj, stats_task, stats_video = evaluator.get_mean_stats()
+        mean_macs, std_macs, mean_params, params_breakdown = evaluator.get_mean_ops_counter_stats()
+        p_mean, p_std, i_mean, i_std = evaluator.get_mean_times()
+        print_and_log(self.logfile, (
+            f"{self.args.test_set} [{used or path}]\n"
+            f"Frame accuracy (averaged per user): {stats_to_str(stats_user)}\n"
+            f"Frame accuracy (averaged per object): {stats_to_str(stats_obj)}\n"
+            f"Frame accuracy (averaged per task): {stats_to_str(stats_task)}\n"
+            f"Frame accuracy (averaged per video): {stats_to_str(stats_video)}\n"
+            f"Time to personalise (averaged per task) {p_mean} ({p_std})\n"
+            f"Inference time per frame (averaged per task): {i_mean} ({i_std})\n"
+            f"MACs to personalise (averaged per task): {mean_macs} ({std_macs})\n"
+            f"Number of params: {mean_params} ({params_breakdown})\n"))
+        if save_evaluator:
+            evaluator.save()
+        evaluator.reset()
+
+    # ------------------------------------------- shared CLU-VE protocol ----
+    def _run_eval_protocol(self, queue, evaluator, num_tasks_per_user: int,
+                           split_name: str, with_timing: bool):
+        """Personalise + per-video predict over an episodic queue
+        (reference: validate :245-296 / test :298-375)."""
+        args = self.args
+        num_context_clips_per_task, num_target_clips_per_task = [], []
+        num_total_tasks = queue.num_users * num_tasks_per_user
+        ops_counter = getattr(evaluator, "ops_counter", None)
+
+        for step, task_dict in enumerate(queue.get_tasks()):
+            ep = pad_episode(task_dict)
+            evaluator.set_task_object_list(task_dict["object_list"])
+            evaluator.set_task_context_paths(task_dict["context_paths"])
+
+            ctx = (jnp.asarray(ep.context_clips), jnp.asarray(ep.context_labels),
+                   jnp.asarray(ep.context_mask), jnp.asarray(ep.class_mask))
+            t1 = time.time()
+            task_state = self.personalise_fn(self.variables, *ctx)
+            if with_timing:
+                # a host readback is the only true sync on tunneled TPUs
+                np.asarray(jax.tree_util.tree_leaves(task_state["head"])[0])
+                evaluator.log_time(time.time() - t1, "personalise")
+            if ops_counter is not None:
+                ops_counter.compute_macs("personalise", self.personalise_fn,
+                                         self.variables, *ctx)
+
+            num_target_clips = 0
+            for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,
+                                                  ep.video_labels, ep.video_paths):
+                clips = jnp.asarray(attach_frame_history(frames, args.clip_length))
+                n_real = int(mask.sum())
+                t1 = time.time()
+                logits = self.predict_fn(self.variables, task_state, clips,
+                                         jnp.asarray(ep.class_mask))
+                logits = np.asarray(logits)
+                if with_timing:
+                    evaluator.log_time((time.time() - t1) / float(n_real * args.clip_length),
+                                       "inference")
+                evaluator.append_video(logits[:n_real], label, paths)
+                num_target_clips += n_real
+
+            num_context_clips_per_task.append(int(ep.context_mask.sum()))
+            num_target_clips_per_task.append(num_target_clips)
+            evaluator.task_complete()
+
+            if (step + 1) % num_tasks_per_user == 0:
+                evaluator.set_current_user(task_dict["task_id"])
+                _, _, _, video_stats = evaluator.get_mean_stats(current_user=True)
+                extra = ""
+                if ops_counter is not None:
+                    macs_mean, _, _, _ = evaluator.get_mean_ops_counter_stats(current_user=True)
+                    extra = f", avg MACs to personalise/task: {macs_mean}"
+                print_and_log(self.logfile,
+                              f"{split_name} user {task_dict['task_id']} "
+                              f"({evaluator.current_user + 1}/{queue.num_users}) stats: "
+                              f"{stats_to_str(video_stats)}{extra}, "
+                              f"avg # context clips/task: {np.mean(num_context_clips_per_task):.0f}, "
+                              f"avg # target clips/task: {np.mean(num_target_clips_per_task):.0f}")
+                if (step + 1) < num_total_tasks:
+                    num_context_clips_per_task, num_target_clips_per_task = [], []
+                    evaluator.next_user()
+            else:
+                evaluator.next_task()

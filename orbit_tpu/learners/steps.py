@@ -1,0 +1,250 @@
+"""Jitted per-task step functions for meta-training and evaluation.
+
+This is where the reference's Python training loops become compiled XLA
+programs. One program is compiled per episode *bucket* shape (the data layer
+pads episodes to a small set of shapes — orbit_tpu.data.episodes), after
+which every task of that shape reuses the cached executable.
+
+Reference equivalents:
+- ``build_train_task``       <- single-step-learner.py:196-210 (train_task)
+- ``build_train_task_lite``  <- single-step-learner.py:212-243
+  (train_task_with_lite) + few_shot_recognisers.py:328-437 (LITE caching)
+- ``build_eval_fns``         <- the personalise/predict calls in
+  validate/test (single-step-learner.py:245-375)
+
+Gradient-accumulation contract: each train step returns the task's gradient
+contribution (already scaled by ``1/tasks_per_batch`` like the reference's
+scaled ``loss.backward()``); the driver accumulates with ``accumulate_grads``
+and applies one optimiser update every ``tasks_per_batch`` tasks.
+
+LITE gradient structure (exact reference parity, SURVEY.md §7 hard part 4):
+per target batch, loss = ``len(context)/(num_lite_samples*tasks_per_batch) *
+CE(batch)`` + ``0.001*film_l2``; a fresh random subset of ``num_lite_samples``
+context clips is re-embedded *with* gradients each batch while the remaining
+clips come from a no-grad cache computed once per task
+(few_shot_recognisers.py:388-437: ``reps_cache``/``features_cache``; note the
+feature cache is built with the first batch's FiLM values and reused — the
+FiLM *values* are numerically identical across batches because the grad-subset
+recompute reproduces the cached activations, so this is consistent, and we
+reproduce it by building the cache from the fully-cached task embedding).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+from orbit_tpu.utils.optim import cross_entropy
+
+FILM_REG_WEIGHT = 0.001  # reference: single-step-learner.py:204,233
+
+
+def tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def tree_zeros_like(tree):
+    return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+
+accumulate_grads = jax.jit(tree_add)
+
+
+def _split_variables(variables):
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    return params, rest
+
+
+def _freeze_extractor(params, learn_extractor: bool):
+    """Zero gradient flow into the extractor when it is frozen
+    (reference: freeze_extractor, model/feature_extractors.py:81-87). FiLM
+    overrides replace leaves wholesale, so generator gradients still flow."""
+    if learn_extractor:
+        return params
+    return {**params, "extractor": jax.lax.stop_gradient(params["extractor"])}
+
+
+def build_train_task(recogniser: SingleStepFewShotRecogniser, args,
+                     jit: bool = True) -> Callable:
+    """Jitted non-LITE meta-training step: personalise on context, predict
+    target, CE/tasks_per_batch + film L2 (single-step-learner.py:196-210).
+
+    Returns fn(variables, episode, rng) -> (grads, loss, target_logits).
+    """
+    tasks_per_batch = args.tasks_per_batch
+    train_bn = args.learn_extractor  # _set_batch_norm_state semantics
+
+    def loss_fn(params, rest, episode):
+        variables = {"params": _freeze_extractor(params, args.learn_extractor), **rest}
+        task_state = recogniser.personalise(
+            variables, episode["context_clips"], episode["context_labels"],
+            episode["context_mask"], episode["class_mask"].shape[0],
+            train=train_bn, with_grad=True)
+        logits = recogniser.predict(
+            variables, task_state, episode["target_clips"],
+            class_mask=episode["class_mask"], train=train_bn, with_grad=True)
+        ce = cross_entropy(logits, episode["target_labels"], episode["target_mask"])
+        loss = ce / tasks_per_batch + FILM_REG_WEIGHT * task_state["film_l2"]
+        return loss, logits
+
+    def train_task(variables, episode, rng):
+        del rng  # non-LITE uses no per-task randomness on device
+        params, rest = _split_variables(variables)
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, rest, episode)
+        return grads, loss, logits
+
+    return jax.jit(train_task) if jit else train_task
+
+
+def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
+                          jit: bool = True) -> Callable:
+    """Jitted LITE meta-training step (single-step-learner.py:212-243).
+
+    The reference's Python loop over target batches becomes a ``lax.scan``
+    that carries the accumulated gradient pytree; each iteration draws a
+    fresh LITE subset, rebuilds the personalised state from the no-grad
+    caches + grad subset, predicts one target batch and adds that batch's
+    gradient to the carry — the same memory profile as per-batch
+    ``loss.backward()``.
+    """
+    tasks_per_batch = args.tasks_per_batch
+    num_lite = args.num_lite_samples
+    batch_size = args.batch_size
+    train_bn = args.learn_extractor
+
+    def lite_grad_subset(rng, mask, n):
+        """Random ``num_lite`` indices, preferring valid rows (the reference
+        permutes real rows only, few_shot_recognisers.py:335-336)."""
+        noise = jax.random.uniform(rng, (n,))
+        order = jnp.argsort(noise - mask.astype(jnp.float32) * 10.0)
+        return order[: min(num_lite, n)]
+
+    def batch_loss_fn(params, rest, caches, episode, grad_idxs,
+                      tgt_clips, tgt_labels, tgt_mask):
+        variables = {"params": _freeze_extractor(params, args.learn_extractor), **rest}
+        ctx = episode["context_clips"]
+        ctx_mask = episode["context_mask"]
+        num_classes = episode["class_mask"].shape[0]
+        t = ctx.shape[1]
+
+        film_values, film_l2 = None, jnp.float32(0.0)
+        if recogniser.adapt_features:
+            # task embedding: cached reps + grad-subset recompute
+            grad_frames = ctx[grad_idxs].reshape(-1, *ctx.shape[2:])
+            grad_reps = recogniser.set_encoder.apply(
+                {"params": variables["params"]["set_encoder"]}, grad_frames
+            ).reshape(grad_idxs.shape[0], t, -1)
+            reps = caches["reps"].at[grad_idxs].set(grad_reps)
+            fm = jnp.repeat(ctx_mask.astype(jnp.float32)[:, None], t, axis=1)
+            emb = (reps * fm[..., None]).sum(axis=(0, 1)) / jnp.maximum(fm.sum(), 1.0)
+            film_values, film_l2 = recogniser.generate_film(variables, emb)
+
+        # context features: no-grad cache + grad-subset recompute
+        grad_feats = recogniser.embed_clips(
+            variables, ctx[grad_idxs], film_values, train=train_bn, with_grad=True)
+        feats = caches["feats"].at[grad_idxs].set(grad_feats)
+        head = recogniser.configure_head(
+            variables, feats, episode["context_labels"], ctx_mask, num_classes)
+
+        tgt_feats = recogniser.embed_clips(
+            variables, tgt_clips, film_values, train=train_bn, with_grad=True)
+        logits = recogniser.head_logits(head, tgt_feats, episode["class_mask"])
+
+        n_ctx = ctx_mask.astype(jnp.float32).sum()
+        scaling = n_ctx / (num_lite * tasks_per_batch)  # single-step-learner.py:231
+        is_real = (tgt_mask.sum() > 0).astype(jnp.float32)
+        loss = is_real * (scaling * cross_entropy(logits, tgt_labels, tgt_mask)
+                          + FILM_REG_WEIGHT * film_l2)
+        return loss, logits
+
+    def train_task_lite(variables, episode, rng):
+        params, rest = _split_variables(variables)
+        n = episode["context_clips"].shape[0]
+        t = episode["context_clips"].shape[1]
+
+        # ---- per-task no-grad caches (reference: _clear_caches + first-call
+        # cache fills, few_shot_recognisers.py:305-311,404-437) ----
+        nograd_vars = {"params": params, **rest}
+        caches = {}
+        cache_film = None
+        if recogniser.adapt_features:
+            frames = episode["context_clips"].reshape(n * t, *episode["context_clips"].shape[2:])
+            caches["reps"] = jax.lax.stop_gradient(
+                recogniser._encode_set_frames(nograd_vars, frames)).reshape(n, t, -1)
+            fm = jnp.repeat(episode["context_mask"].astype(jnp.float32)[:, None], t, axis=1)
+            emb = (caches["reps"] * fm[..., None]).sum(axis=(0, 1)) / jnp.maximum(fm.sum(), 1.0)
+            cache_film, _ = recogniser.generate_film(nograd_vars, emb)
+            cache_film = jax.lax.stop_gradient(cache_film)
+        caches["feats"] = jax.lax.stop_gradient(recogniser.embed_clips(
+            nograd_vars, episode["context_clips"], cache_film,
+            train=train_bn, with_grad=False))
+
+        # ---- scan over target batches, carrying accumulated grads ----
+        m = episode["target_clips"].shape[0]
+        nb = (m + batch_size - 1) // batch_size
+        pad = nb * batch_size - m
+        tgt_clips = jnp.concatenate(
+            [episode["target_clips"],
+             jnp.zeros((pad,) + episode["target_clips"].shape[1:],
+                       episode["target_clips"].dtype)]) if pad else episode["target_clips"]
+        tgt_labels = jnp.concatenate(
+            [episode["target_labels"], jnp.zeros((pad,), episode["target_labels"].dtype)]) if pad else episode["target_labels"]
+        tgt_mask = jnp.concatenate(
+            [episode["target_mask"], jnp.zeros((pad,), episode["target_mask"].dtype)]) if pad else episode["target_mask"]
+        tgt_clips = tgt_clips.reshape(nb, batch_size, *tgt_clips.shape[1:])
+        tgt_labels = tgt_labels.reshape(nb, batch_size)
+        tgt_mask = tgt_mask.reshape(nb, batch_size)
+        rngs = jax.random.split(rng, nb)
+
+        grad_fn = jax.value_and_grad(batch_loss_fn, has_aux=True)
+
+        def body(carry, xs):
+            grads_acc, loss_acc = carry
+            rng_b, clips_b, labels_b, mask_b = xs
+            grad_idxs = lite_grad_subset(rng_b, episode["context_mask"], n)
+            (loss, logits), grads = grad_fn(params, rest, caches, episode,
+                                            grad_idxs, clips_b, labels_b, mask_b)
+            return (tree_add(grads_acc, grads), loss_acc + loss), logits
+
+        (grads, loss), logits = jax.lax.scan(
+            body, (tree_zeros_like(params), jnp.float32(0.0)),
+            (rngs, tgt_clips, tgt_labels, tgt_mask))
+        return grads, loss, logits.reshape(nb * batch_size, -1)[:m]
+
+    return jax.jit(train_task_lite) if jit else train_task_lite
+
+
+def build_eval_fns(recogniser: SingleStepFewShotRecogniser) -> Tuple[Callable, Callable]:
+    """Jitted (personalise, predict) for the CLU-VE protocol — eval-mode BN,
+    no gradients (single-step-learner.py:245-375)."""
+
+    @jax.jit
+    def personalise(variables, context_clips, context_labels, context_mask, class_mask):
+        return recogniser.personalise(
+            variables, context_clips, context_labels, context_mask,
+            class_mask.shape[0], train=False, with_grad=False)
+
+    @jax.jit
+    def predict(variables, task_state, clips, class_mask):
+        return recogniser.predict(variables, task_state, clips,
+                                  class_mask=class_mask, train=False,
+                                  with_grad=False)
+
+    return personalise, predict
+
+
+def build_apply_update(tx) -> Callable:
+    """Jitted optimiser application for accumulated gradients."""
+
+    @jax.jit
+    def apply_update(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    return apply_update

@@ -1,0 +1,158 @@
+"""Convert pinned torch/timm checkpoints into this framework's param trees.
+
+The reference constructs timm backbones with pinned pretrained URLs
+(reference: model/feature_extractors.py:37-79) and loads full-model torch
+checkpoints with ``load_state_dict`` (single-step-learner.py:300-302). Here
+conversion is explicit and offline:
+
+    python scripts/convert_checkpoint.py --feature_extractor efficientnet_b0 \
+        --torch_path tf_efficientnet_b0_aa.pth --out efficientnet_b0.ckpt
+
+then train/test with ``--pretrained_extractor_path efficientnet_b0.ckpt``.
+
+Layout mapping (torch -> flax):
+- Conv weight  OIHW -> HWIO (same transpose covers depthwise: (C,1,kh,kw) ->
+  (kh,kw,1,C) with feature_group_count)
+- Linear weight (out,in) -> kernel (in,out)
+- BatchNorm weight/bias -> scale/bias; running_mean/var -> batch_stats mean/var
+- LayerNorm weight/bias -> scale/bias
+- timm module paths ``blocks.{s}.{b}.x`` -> ``blocks_{s}_{b}.x`` (flax name
+  collision rules prohibit dots)
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _t_conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _t_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _nest(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch ``.pt``/``.pth`` (or ``.npz``) state dict as NumPy."""
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+def convert_efficientnet(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """timm tf_efficientnet_{b0,v2_s} state dict -> (params, batch_stats)."""
+    params: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+    for key, v in sd.items():
+        if key.startswith("classifier.") or key.endswith("num_batches_tracked"):
+            continue
+        key = re.sub(r"^blocks\.(\d+)\.(\d+)\.", r"blocks_\1_\2/", key)
+        parts = key.replace(".", "/").split("/")
+        prefix, leaf = "/".join(parts[:-1]), parts[-1]
+        module = parts[-2] if len(parts) >= 2 else ""
+        if module.startswith(("conv", "se")) or "conv" in module:
+            if leaf == "weight":
+                params[f"{prefix}/kernel"] = _t_conv(v)
+            else:
+                params[f"{prefix}/{leaf}"] = v
+        elif module.startswith("bn"):
+            if leaf == "weight":
+                params[f"{prefix}/scale"] = v
+            elif leaf == "bias":
+                params[f"{prefix}/bias"] = v
+            elif leaf == "running_mean":
+                stats[f"{prefix}/mean"] = v
+            elif leaf == "running_var":
+                stats[f"{prefix}/var"] = v
+        else:
+            raise ValueError(f"unmapped efficientnet key: {key}")
+    return _nest(params), _nest(stats)
+
+
+def convert_vit(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """timm vit_{small,base}_patch32 state dict -> (params, {})."""
+    params: Dict[str, np.ndarray] = {}
+    for key, v in sd.items():
+        if key.startswith(("head.", "pre_logits.", "fc_norm.")):
+            continue
+        if key == "cls_token":
+            params["cls_token"] = v
+        elif key == "pos_embed":
+            params["pos_embed"] = v
+        elif key == "patch_embed.proj.weight":
+            params["patch_embed/kernel"] = _t_conv(v)
+        elif key == "patch_embed.proj.bias":
+            params["patch_embed/bias"] = v
+        else:
+            key = re.sub(r"^blocks\.(\d+)\.", r"blocks_\1/", key)
+            parts = key.replace(".", "/").split("/")
+            prefix, leaf = "/".join(parts[:-1]), parts[-1]
+            module = parts[-2]
+            if module.startswith("norm"):
+                params[f"{prefix}/{'scale' if leaf == 'weight' else 'bias'}"] = v
+            elif leaf == "weight":
+                params[f"{prefix}/kernel"] = _t_linear(v)
+            elif leaf == "bias":
+                params[f"{prefix}/{leaf}"] = v
+            else:
+                raise ValueError(f"unmapped vit key: {key}")
+    return _nest(params), {}
+
+
+def convert_extractor(sd: Dict[str, np.ndarray], feature_extractor: str):
+    if feature_extractor.startswith("efficientnet"):
+        return convert_efficientnet(sd)
+    if feature_extractor.startswith("vit"):
+        return convert_vit(sd)
+    raise ValueError(f"unknown feature_extractor {feature_extractor}")
+
+
+def save_converted(out_path: str, params: Dict, batch_stats: Dict) -> None:
+    from orbit_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(out_path, {"params": params, "batch_stats": batch_stats})
+
+
+def load_pretrained_extractor(variables, path: str):
+    """Merge a converted extractor checkpoint into recogniser variables,
+    validating tree structure and shapes against the initialised model."""
+    import jax
+
+    from orbit_tpu.utils.checkpoint import load_checkpoint
+
+    template = {"params": variables["params"]["extractor"],
+                "batch_stats": variables.get("batch_stats", {}).get("extractor", {})}
+    restored = load_checkpoint(path, template)
+    jax.tree_util.tree_map(
+        lambda a, b: (_ for _ in ()).throw(
+            ValueError(f"shape mismatch {a.shape} vs {b.shape}"))
+        if np.shape(a) != np.shape(b) else None,
+        template, restored)
+    out = dict(variables)
+    out["params"] = {**variables["params"], "extractor": restored["params"]}
+    if restored["batch_stats"]:
+        out["batch_stats"] = {**variables.get("batch_stats", {}),
+                              "extractor": restored["batch_stats"]}
+    return out

@@ -198,12 +198,13 @@ def predict_mahalanobis(head: Dict[str, jnp.ndarray], features: jnp.ndarray,
                         logit_scale: float = 1.0,
                         class_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """logits = -Mahalanobis^2(feature, class distribution)
-    (reference: classifier_heads.py:328-347), one einsum on the MXU."""
-    f = features.astype(jnp.float32)
-    diff = head["means"][None, :, :] - f[:, None, :]            # (M, C, D)
-    half = jnp.einsum("mcd,cde->mce", diff, head["precisions"])
-    logits = -jnp.einsum("mce,mce->mc", half, diff) * logit_scale
-    return _mask_logits(logits, class_mask)
+    (reference: classifier_heads.py:328-347). On TPU this dispatches to the
+    fused Pallas kernel (orbit_tpu.ops.mahalanobis) that blocks over classes
+    in VMEM instead of materialising the (M, C, D) intermediates."""
+    from orbit_tpu.ops import mahalanobis_logits
+
+    return mahalanobis_logits(features, head["means"], head["precisions"],
+                              class_mask=class_mask, logit_scale=logit_scale)
 
 
 # -------------------------------------------------------------- dispatch ----

@@ -83,15 +83,17 @@ class FewShotRecogniser:
     def init(self, rng, frame_size: int = 224) -> Dict[str, Any]:
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         dummy = jnp.zeros((1, frame_size, frame_size, 3), jnp.float32)
-        ex_vars = self.extractor.init(k1, dummy)
+        # jit the module inits: un-jitted flax init executes the whole
+        # backbone eagerly, op by op — minutes on CPU for EfficientNet
+        ex_vars = jax.jit(self.extractor.init)(k1, dummy)
         params = {"extractor": ex_vars["params"]}
         collections = {k: {"extractor": v} for k, v in ex_vars.items() if k != "params"}
         if self.adapt_features:
-            params["set_encoder"] = self.set_encoder.init(k2, dummy)["params"]
-            params["film_generator"] = self.film_generator.init(
+            params["set_encoder"] = jax.jit(self.set_encoder.init)(k2, dummy)["params"]
+            params["film_generator"] = jax.jit(self.film_generator.init)(
                 k3, jnp.zeros((1, SET_ENCODER_OUTPUT_SIZE)))["params"]
         if self.classifier == "versa":
-            params["versa"] = self.versa.init(
+            params["versa"] = jax.jit(self.versa.init)(
                 k4, jnp.zeros((2, self.output_size)))["params"]
         return {"params": params, **collections}
 
@@ -206,15 +208,25 @@ class SingleStepFewShotRecogniser(FewShotRecogniser):
 
     def personalise(self, variables, context_clips, context_labels,
                     context_mask, num_classes: int,
-                    train: bool = False) -> TaskState:
+                    train: bool = False,
+                    with_grad: Optional[bool] = None) -> TaskState:
         """Full personalisation: task embedding -> FiLM -> context features ->
-        head configure (reference: personalise, few_shot_recognisers.py:313-326)."""
+        head configure (reference: personalise, few_shot_recognisers.py:313-326).
+
+        ``train`` selects BatchNorm batch-statistics mode (meta-training with
+        ``learn_extractor``); ``with_grad`` controls gradient flow through the
+        backbone and defaults to ``train`` — they are decoupled because
+        meta-training FiLM with a frozen extractor needs grads under eval-mode
+        BN (reference: _set_batch_norm_state, few_shot_recognisers.py:176-183).
+        """
+        if with_grad is None:
+            with_grad = train
         film_values, film_l2 = (None, jnp.float32(0.0))
         if self.adapt_features:
             emb = self.task_embedding(variables, context_clips, context_mask)
             film_values, film_l2 = self.generate_film(variables, emb)
         feats = self.embed_clips(variables, context_clips, film_values,
-                                 train=train, with_grad=train)
+                                 train=train, with_grad=with_grad)
         head = self.configure_head(variables, feats, context_labels,
                                    context_mask, num_classes)
         return {"film": film_values, "head": head, "film_l2": film_l2}

@@ -1,0 +1,137 @@
+"""Episode-data-parallel meta-training over a JAX device mesh.
+
+The reference trains on a single GPU, simulating a task batch with serial
+gradient accumulation (single-step-learner.py:162-166). The TPU-native
+upgrade (SURVEY.md §2.9): shard a batch of fixed-shape episodes across chips
+on the ICI with ``shard_map`` — each chip runs the per-task gradient program
+on its local episodes, gradients are ``psum``-reduced across the mesh, and
+one replicated optimiser update is applied. No NCCL analog; XLA emits the
+all-reduce over ICI.
+
+Episodes within a device batch must share bucket shapes; ``stack_group``
+re-pads a group of padded episodes to their common maximum bucket before
+stacking (recompilation is bounded by the small bucket set).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from orbit_tpu.data.episodes import Episode, pad_rows
+from orbit_tpu.learners import steps as steps_lib
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def stack_group(episodes: Sequence[Episode]) -> Dict[str, np.ndarray]:
+    """Re-pad a group of train episodes to their common max bucket and stack
+    along a leading task axis."""
+    n_ctx = max(e.context_clips.shape[0] for e in episodes)
+    n_tgt = max(e.target_clips.shape[0] for e in episodes)
+
+    def stack(field, n):
+        return np.stack([pad_rows(getattr(e, field), n) for e in episodes])
+
+    return {
+        "context_clips": stack("context_clips", n_ctx),
+        "context_labels": stack("context_labels", n_ctx),
+        "context_mask": stack("context_mask", n_ctx),
+        "class_mask": np.stack([e.class_mask for e in episodes]),
+        "target_clips": stack("target_clips", n_tgt),
+        "target_labels": stack("target_labels", n_tgt),
+        "target_mask": stack("target_mask", n_tgt),
+    }
+
+
+class EpisodeDataParallel:
+    """Shard-mapped task-batch gradients + replicated optimiser update."""
+
+    def __init__(self, recogniser, args, tx, mesh: Optional[Mesh] = None):
+        self.mesh = mesh or make_mesh(getattr(args, "data_parallel", None))
+        self.dp = self.mesh.devices.size
+        self.args = args
+        self.tx = tx
+        build = (steps_lib.build_train_task_lite if getattr(args, "with_lite", False)
+                 else steps_lib.build_train_task)
+        task_fn = build(recogniser, args, jit=False)
+
+        def local_grads(params, rest, batch, rngs):
+            """Runs on each chip over its local shard of the task batch."""
+            def per_task(episode, rng):
+                return task_fn({"params": params, **rest}, episode, rng)
+
+            grads, losses, logits = jax.vmap(per_task)(batch, rngs)
+            # sum local task grads (each pre-scaled by 1/tasks_per_batch),
+            # then all-reduce across the mesh
+            grads = jax.tree_util.tree_map(lambda g: g.sum(axis=0), grads)
+            grads = jax.lax.psum(grads, axis_name="dp")
+            return grads, losses, logits
+
+        sharded = jax.shard_map(
+            local_grads, mesh=self.mesh,
+            in_specs=(P(), P(), P("dp"), P("dp")),
+            out_specs=(P(), P("dp"), P("dp")),
+        )
+
+        def update(params, opt_state, grads):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        self._grads = jax.jit(sharded)
+        self._apply = jax.jit(update)
+        self._acc = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+
+    def batch_grads(self, params, rest, batch: Dict[str, np.ndarray], rngs):
+        """Mesh-summed gradients + per-task (losses, logits) for a (dp, ...)
+        stacked episode batch."""
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return self._grads(params, rest, batch, rngs)
+
+    def train_epoch(self, params, rest, opt_state, tasks: List[Dict],
+                    next_rng: Callable, evaluator=None):
+        """Group an epoch's tasks into dp-sized device batches; accumulate
+        mesh-summed gradients until ``tasks_per_batch`` tasks are consumed,
+        then apply one optimiser update — the reference's effective task
+        batch (single-step-learner.py:162-166), parallelised over chips.
+        Leftover tasks (< dp) still contribute via a final padded group with
+        repeated episodes masked out by zero-weighting (simply dropped here;
+        the task order is shuffled each epoch so no systematic bias).
+        """
+        from orbit_tpu.data.episodes import pad_episode
+
+        losses: List[float] = []
+        dp = self.dp
+        groups_per_update = max(1, self.args.tasks_per_batch // dp)
+        n_groups = len(tasks) // dp
+        grads_acc = None
+        for g in range(n_groups):
+            group = [pad_episode(t) for t in tasks[g * dp:(g + 1) * dp]]
+            batch = stack_group(group)
+            rngs = jnp.stack([next_rng() for _ in range(dp)])
+            grads, group_losses, logits = self.batch_grads(params, rest, batch, rngs)
+            grads_acc = grads if grads_acc is None else self._acc(grads_acc, grads)
+            losses.extend(float(l) for l in np.asarray(group_losses).reshape(-1))
+            if evaluator is not None:
+                logits = np.asarray(logits)
+                for i, ep in enumerate(group):
+                    n_valid = int(ep.target_mask.sum())
+                    evaluator.update_stats(
+                        logits[i][:n_valid, :ep.way],
+                        np.asarray(batch["target_labels"][i][:n_valid]))
+            if (g + 1) % groups_per_update == 0 or g == n_groups - 1:
+                params, opt_state = self._apply(params, opt_state, grads_acc)
+                grads_acc = None
+        return params, opt_state, losses

@@ -114,6 +114,12 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
                         help="Number of chips to shard episodes across (episode-data-parallel via shard_map).")
     parser.add_argument("--num_data_threads", type=int, default=4,
                         help="Host threads for JPEG decode in the data loader.")
+    parser.add_argument("--pretrained_extractor_path", type=str, default=None,
+                        help="Converted pretrained backbone weights (orbit_tpu.models.convert). "
+                             "The reference downloads timm/CLIP checkpoints at construction.")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="Path to a checkpoint.ckpt to resume training from "
+                             "(the reference's load_checkpoint is dead code; wired here).")
 
     if learner == "multi-step-learner":
         ft = parser.add_argument_group("Finetuning hyperparameters to use for personalization")

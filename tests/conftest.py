@@ -16,6 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by XLA-CPU compiles of
+# backbone programs; caching them on disk makes re-runs fast.
+_cache_dir = os.environ.get("JAX_TEST_CACHE", "/tmp/orbit_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 from PIL import Image
