@@ -91,7 +91,7 @@ def main():
     n_frames = 256 if on_accelerator else 64
     clips = rng.standard_normal((n_frames, 1, 224, 224, 3)).astype(np.float32)
     fps = measure_fps(device, predict, variables, head, class_mask, clips,
-                      iters=10 if on_accelerator else 3)
+                      iters=40 if on_accelerator else 3)
 
     # Host-CPU reference point (the reference's supported test footprint).
     vs_baseline = 1.0

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""ORBIT challenge getting-started walkthrough, TPU-native.
+
+Script equivalent of the reference's ``orbit_challenge_getting_started.ipynb``:
+build a user-episodic queue over the validation split, personalise a
+ProtoNets + ViT-B-32-CLIP recogniser on each task's context clips, predict
+every frame of each target video, report frame accuracy + MACs, and save the
+challenge-format ``results.json``.
+
+With the reference's pinned ProtoNets ViT-B-32-CLIP checkpoint (converted via
+scripts/convert_checkpoint.py) and ``--num_tasks 10`` this should reproduce
+the notebook's expected output: frame accuracy (per-video) 85.67 (1.50),
+MACs to personalise 4.78T (1.27T) (reference notebook cell 8).
+
+Usage:
+    python examples/getting_started.py --data_path /data/orbit_benchmark_224 \
+        --pretrained_extractor_path pretrained/vit_b_32_clip.ckpt \
+        --model_path checkpoints/protonets_vit_b_32_clip.ckpt
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from orbit_tpu.learners import SingleStepLearner
+from orbit_tpu.utils.args import parse_args
+
+
+def main():
+    wrapper = argparse.ArgumentParser()
+    wrapper.add_argument("--data_path", required=True)
+    wrapper.add_argument("--model_path", default=None)
+    wrapper.add_argument("--pretrained_extractor_path", default=None)
+    wrapper.add_argument("--num_tasks", type=int, default=10)
+    wrapper.add_argument("--checkpoint_dir", default="./getting_started_runs")
+    wrapper.add_argument("--feature_extractor", default="vit_b_32_clip")
+    a = wrapper.parse_args()
+
+    # The notebook's dataset settings (cell 4): validation split, max way,
+    # all context videos, uniform context clips, random_200 target frames.
+    argv = [
+        "--data_path", a.data_path,
+        "--checkpoint_dir", a.checkpoint_dir,
+        "--mode", "test",
+        "--test_set", "validation",
+        "--feature_extractor", a.feature_extractor,
+        "--classifier", "proto",
+        "--logit_scale", "1.0",
+        "--num_test_tasks", str(a.num_tasks),
+        "--frame_size", "224",
+    ]
+    if a.model_path:
+        argv += ["--model_path", a.model_path]
+    if a.pretrained_extractor_path:
+        argv += ["--pretrained_extractor_path", a.pretrained_extractor_path]
+
+    learner = SingleStepLearner(parse_args("single-step-learner", argv))
+    learner.test(a.model_path)
+    print(f"results.json saved under {learner.checkpoint_dir}")
+
+
+if __name__ == "__main__":
+    main()

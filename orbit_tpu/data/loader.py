@@ -9,13 +9,14 @@ that emits NHWC float32 arrays — the natural TPU layout — and materialises a
 """
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image
 
-from orbit_tpu.data.index import NORMALIZE_STATS
+from orbit_tpu.data.index import ANNOTATION_DIMS, NORMALIZE_STATS
 from orbit_tpu.data.sampling import TaskPlan
 
 
@@ -26,12 +27,16 @@ class FrameLoader:
     parallelism without worker processes.
     """
 
-    def __init__(self, frame_size: int, frame_norm_method: str, num_threads: int = 4):
+    def __init__(self, frame_size: int, frame_norm_method: str, num_threads: int = 4,
+                 frame2anns: Optional[Dict[str, dict]] = None,
+                 annotations_to_load: Optional[List[str]] = None):
         self.frame_size = frame_size
         stats = NORMALIZE_STATS[frame_norm_method]
         self.mean = np.asarray(stats["mean"], dtype=np.float32)
         self.std = np.asarray(stats["std"], dtype=np.float32)
         self.num_threads = num_threads
+        self.frame2anns = frame2anns or {}
+        self.annotations_to_load = list(annotations_to_load or [])
         self._pool = ThreadPoolExecutor(max_workers=num_threads) if num_threads > 1 else None
         self._cache: Dict[str, np.ndarray] = {}
         self._cache_cap = 0
@@ -73,24 +78,47 @@ class FrameLoader:
         out = np.stack(frames) if frames else np.zeros((0, self.frame_size, self.frame_size, 3), np.float32)
         return out.reshape(paths.shape + (self.frame_size, self.frame_size, 3))
 
+    def load_annotations(self, paths: np.ndarray) -> Dict[str, np.ndarray]:
+        """Per-clip annotations for the last frame of each clip, NaN where
+        absent (reference: load_annotations, data/datasets.py:393-420 with
+        without_clip_history=True). Returns {ann: (num_clips, 1, dim)}."""
+        flat = paths.reshape(paths.shape[0], -1) if paths.ndim > 1 else paths[:, None]
+        last = flat[:, -1]
+        out: Dict[str, np.ndarray] = {}
+        for ann in self.annotations_to_load:
+            dim = ANNOTATION_DIMS.get(ann, 1)
+            arr = np.full((flat.shape[0], 1, dim), np.nan, np.float32)
+            for i, fp in enumerate(last):
+                value = self.frame2anns.get(os.path.basename(str(fp)), {}).get(ann)
+                if value is not None:
+                    arr[i, 0] = np.asarray(value, np.float32)
+            out[ann] = arr
+        return out
+
     def load_task(self, plan: TaskPlan) -> Dict:
         """Materialise a TaskPlan into the reference ``task_dict`` contract
         (data/datasets.py:584-597), NHWC layout."""
+        with_anns = bool(self.annotations_to_load)
         task = {
             "context_clips": self.load_paths(plan.context_paths),        # (N, T, H, W, 3)
             "context_paths": plan.context_paths,
             "context_labels": plan.context_labels,
-            "context_annotations": {},
+            "context_annotations": (self.load_annotations(plan.context_paths)
+                                    if with_anns else {}),
             "object_list": plan.object_list,
             "task_id": plan.task_id,
-            "target_annotations": {},
         }
         if plan.target_paths is not None:   # train mode
             task["target_clips"] = self.load_paths(plan.target_paths)
             task["target_paths"] = plan.target_paths
             task["target_labels"] = plan.target_labels
+            task["target_annotations"] = (self.load_annotations(plan.target_paths)
+                                          if with_anns else {})
         else:                               # test mode: per-video frame lists
             task["target_clips"] = [self.load_paths(p) for p in plan.target_paths_by_video]
             task["target_paths"] = plan.target_paths_by_video
             task["target_labels"] = [np.int64(l) for l in plan.target_labels_by_video]
+            task["target_annotations"] = (
+                [self.load_annotations(np.asarray(p)) for p in plan.target_paths_by_video]
+                if with_anns else {})
         return task

@@ -75,7 +75,9 @@ class DatasetQueue:
             with_caps=with_caps,
             test_mode=test_mode,
         )
-        self.loader = FrameLoader(frame_size, frame_norm_method, num_threads=num_threads)
+        self.loader = FrameLoader(frame_size, frame_norm_method, num_threads=num_threads,
+                                  frame2anns=self.index.frame2anns,
+                                  annotations_to_load=annotations_to_load)
         self.num_tasks = num_tasks
         self.shuffle = shuffle
         self.prefetch = prefetch

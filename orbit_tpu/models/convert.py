@@ -129,6 +129,115 @@ def convert_extractor(sd: Dict[str, np.ndarray], feature_extractor: str):
     raise ValueError(f"unknown feature_extractor {feature_extractor}")
 
 
+def _split_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def convert_set_encoder(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference SetEncoder (set_encoders.py:81-120: 5x Sequential[conv, bn,
+    relu, maxpool]) -> our conv{i}/norm{i} params. The reference keeps this
+    encoder in eval() forever so its BN running stats stay (0, 1) and BN is an
+    affine — we map weight/bias onto the _AffineNorm scale/bias and verify the
+    stats really are at init."""
+    params: Dict[str, np.ndarray] = {}
+    for i in range(1, 6):
+        layer = f"encoder.layer{i}"
+        params[f"conv{i}/kernel"] = _t_conv(sd[f"{layer}.0.weight"])
+        params[f"conv{i}/bias"] = sd[f"{layer}.0.bias"]
+        params[f"norm{i}/scale"] = sd[f"{layer}.1.weight"]
+        params[f"norm{i}/bias"] = sd[f"{layer}.1.bias"]
+        mean, var = sd[f"{layer}.1.running_mean"], sd[f"{layer}.1.running_var"]
+        if not (np.allclose(mean, 0.0, atol=1e-5) and np.allclose(var, 1.0, atol=1e-5)):
+            raise ValueError(
+                f"set_encoder {layer} BN stats moved off their init; the "
+                "affine-norm mapping assumes eval-mode-forever BN")
+    return _nest(params)
+
+
+def _film_torch_name(path: Tuple[str, ...], feature_extractor: str) -> str:
+    """Our film-spec path -> the reference's torch parameter name
+    (model/film.py:68-74), e.g. ('blocks_1_0','bn2','scale') ->
+    'blocks.1.0.bn2.weight' (efficientnet) / ('blocks_3','norm1','bias') ->
+    'blocks.3.norm1.bias' (vit)."""
+    *mods, leaf = path
+    names = []
+    for m in mods:
+        if m.startswith("blocks_"):
+            names.extend(["blocks"] + m.split("_")[1:])
+        else:
+            names.append(m)
+    return ".".join(names + ["weight" if leaf == "scale" else "bias"])
+
+
+def convert_film_generator(sd: Dict[str, np.ndarray], film_spec,
+                           feature_extractor: str) -> Dict:
+    """Reference FilmParameterGenerator (feature_adapters.py:36-64):
+    ModuleList of DenseBlocks + ParameterList of regularisers, both indexed by
+    the reference's *sorted torch film parameter names*. Map index i -> our
+    ``gen__<flax_path>`` / ``reg__<flax_path>`` params."""
+    torch_names = {path: _film_torch_name(path, feature_extractor)
+                   for path, _ in film_spec}
+    order = sorted(torch_names.values())
+    idx_of = {name: i for i, name in enumerate(order)}
+
+    params: Dict[str, np.ndarray] = {}
+    for path, _ in film_spec:
+        i = idx_of[torch_names[path]]
+        tag = ".".join(path).replace(".", "_")
+        params[f"gen__{tag}/fc1/kernel"] = _t_linear(sd[f"generators.{i}.block.0.weight"])
+        params[f"gen__{tag}/fc1/bias"] = sd[f"generators.{i}.block.0.bias"]
+        params[f"gen__{tag}/ln/scale"] = sd[f"generators.{i}.block.1.weight"]
+        params[f"gen__{tag}/ln/bias"] = sd[f"generators.{i}.block.1.bias"]
+        params[f"gen__{tag}/fc2/kernel"] = _t_linear(sd[f"generators.{i}.block.3.weight"])
+        params[f"gen__{tag}/fc2/bias"] = sd[f"generators.{i}.block.3.bias"]
+        params[f"reg__{tag}"] = sd[f"regularizers.{i}"]
+    return _nest(params)
+
+
+def convert_versa(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference VersaClassifier hyper-nets (classifier_heads.py:121-143):
+    weight_processor/bias_processor DenseResidualBlocks."""
+    params: Dict[str, np.ndarray] = {}
+    for proc in ("weight_processor", "bias_processor"):
+        for lin in ("linear1", "linear2", "linear3"):
+            params[f"{proc}/{lin}/kernel"] = _t_linear(sd[f"{proc}.{lin}.weight"])
+            params[f"{proc}/{lin}/bias"] = sd[f"{proc}.{lin}.bias"]
+    return _nest(params)
+
+
+def convert_recogniser_checkpoint(sd: Dict[str, np.ndarray], recogniser,
+                                  variables) -> Dict:
+    """Full reference recogniser state_dict (torch.save of
+    SingleStep/MultiStepFewShotRecogniser) -> this framework's variables.
+
+    Handles feature_extractor (+BN stats), set_encoder, film_generator and
+    the Versa classifier hyper-nets; per-task state (proto/mahalanobis/linear
+    heads) is transient in both frameworks and not part of checkpoints.
+    """
+    ex_params, ex_stats = convert_extractor(
+        _split_prefix(sd, "feature_extractor."), recogniser.feature_extractor_name)
+    params = dict(variables["params"])
+    params["extractor"] = ex_params
+
+    se_sd = _split_prefix(sd, "set_encoder.")
+    if se_sd and "set_encoder" in params:
+        params["set_encoder"] = convert_set_encoder(se_sd)
+    fg_sd = _split_prefix(sd, "film_generator.")
+    if fg_sd and "film_generator" in params:
+        params["film_generator"] = convert_film_generator(
+            fg_sd, recogniser.film_spec, recogniser.feature_extractor_name)
+    cls_sd = _split_prefix(sd, "classifier.")
+    if cls_sd and "versa" in params:
+        params["versa"] = convert_versa(cls_sd)
+
+    out = dict(variables)
+    out["params"] = params
+    if ex_stats:
+        out["batch_stats"] = {**variables.get("batch_stats", {}), "extractor": ex_stats}
+    return out
+
+
 def save_converted(out_path: str, params: Dict, batch_stats: Dict) -> None:
     from orbit_tpu.utils.checkpoint import save_checkpoint
 

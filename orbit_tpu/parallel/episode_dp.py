@@ -69,15 +69,22 @@ class EpisodeDataParallel:
         task_fn = build(recogniser, args, jit=False)
 
         def local_grads(params, rest, batch, rngs):
-            """Runs on each chip over its local shard of the task batch."""
+            """Runs on each chip over its local shard of the task batch.
+
+            No explicit psum: ``params`` enter replicated (P()), and
+            shard_map's replication-aware AD inserts the cross-device psum
+            into the cotangent automatically (the transpose of
+            broadcast-to-varying), so ``jax.grad`` already returns the
+            mesh-summed gradient — adding our own psum would double it
+            (verified against serial accumulation in tests/test_parallel.py).
+            """
             def per_task(episode, rng):
                 return task_fn({"params": params, **rest}, episode, rng)
 
             grads, losses, logits = jax.vmap(per_task)(batch, rngs)
-            # sum local task grads (each pre-scaled by 1/tasks_per_batch),
-            # then all-reduce across the mesh
+            # sum this chip's task grads (each pre-scaled by 1/tasks_per_batch);
+            # the replicated-param cotangent already carries the psum
             grads = jax.tree_util.tree_map(lambda g: g.sum(axis=0), grads)
-            grads = jax.lax.psum(grads, axis_name="dp")
             return grads, losses, logits
 
         sharded = jax.shard_map(

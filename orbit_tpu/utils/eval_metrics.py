@@ -106,6 +106,8 @@ class TestEvaluator(Evaluator):
     """Nested per-user/task/video logs + 4 aggregation views + timers + MACs
     (reference: eval_metrics.py:101-343)."""
 
+    __test__ = False  # "Test" prefix is domain naming, not a pytest class
+
     def __init__(self, stats_to_compute, save_dir: Optional[str] = None,
                  with_ops_counter: bool = False, count_backwards: bool = False):
         super().__init__(stats_to_compute)

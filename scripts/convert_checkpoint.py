@@ -27,12 +27,35 @@ def main():
     p.add_argument("--feature_extractor", required=True, choices=FEATURE_EXTRACTORS)
     p.add_argument("--torch_path", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--full_model", action="store_true",
+                   help="Input is a full reference recogniser checkpoint "
+                        "(e.g. the published protonets_*.pt) rather than a "
+                        "bare timm backbone; emits variables loadable with "
+                        "--model_path.")
+    p.add_argument("--classifier", default="proto",
+                   choices=["linear", "versa", "proto", "proto_cosine", "mahalanobis"],
+                   help="(--full_model) classifier the checkpoint was trained with.")
+    p.add_argument("--adapt_features", action="store_true",
+                   help="(--full_model) checkpoint includes FiLM generator + set encoder.")
     args = p.parse_args()
 
     sd = load_torch_state_dict(args.torch_path)
-    params, batch_stats = convert_extractor(sd, args.feature_extractor)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    save_converted(args.out, params, batch_stats)
+    if args.full_model:
+        import jax
+
+        from orbit_tpu.models.convert import convert_recogniser_checkpoint
+        from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+        from orbit_tpu.utils.checkpoint import save_checkpoint
+
+        rec = SingleStepFewShotRecogniser(
+            feature_extractor_name=args.feature_extractor,
+            adapt_features=args.adapt_features, classifier=args.classifier)
+        variables = rec.init(jax.random.PRNGKey(0))
+        save_checkpoint(args.out, convert_recogniser_checkpoint(sd, rec, variables))
+    else:
+        params, batch_stats = convert_extractor(sd, args.feature_extractor)
+        save_converted(args.out, params, batch_stats)
     print(f"converted {len(sd)} tensors -> {args.out}")
 
 
