@@ -29,7 +29,8 @@ class FrameLoader:
 
     def __init__(self, frame_size: int, frame_norm_method: str, num_threads: int = 4,
                  frame2anns: Optional[Dict[str, dict]] = None,
-                 annotations_to_load: Optional[List[str]] = None):
+                 annotations_to_load: Optional[List[str]] = None,
+                 use_native: Optional[bool] = None):
         self.frame_size = frame_size
         stats = NORMALIZE_STATS[frame_norm_method]
         self.mean = np.asarray(stats["mean"], dtype=np.float32)
@@ -40,6 +41,10 @@ class FrameLoader:
         self._pool = ThreadPoolExecutor(max_workers=num_threads) if num_threads > 1 else None
         self._cache: Dict[str, np.ndarray] = {}
         self._cache_cap = 0
+        if use_native is None:  # auto-detect the C++ decode pipeline
+            from orbit_tpu.data.native_decoder import native_available
+            use_native = native_available()
+        self.use_native = use_native
 
     def enable_cache(self, max_frames: int) -> None:
         """Optionally memoise decoded (pre-normalised) frames across tasks.
@@ -69,8 +74,22 @@ class FrameLoader:
         return (raw - self.mean) / self.std
 
     def load_paths(self, paths: np.ndarray) -> np.ndarray:
-        """Load a flat list of frame paths -> (N, H, W, 3) float32."""
-        flat = list(paths.reshape(-1))
+        """Load a flat list of frame paths -> (N, H, W, 3) float32.
+
+        Uses the C++ libjpeg pipeline (orbit_tpu.data.native_decoder) when
+        built; falls back to the PIL thread pool otherwise (and whenever the
+        decode cache is active, which memoises PIL-decoded uint8 frames).
+        """
+        flat = [str(p) for p in paths.reshape(-1)]
+        if self.use_native and not self._cache_cap and flat:
+            try:
+                from orbit_tpu.data import native_decoder
+                out = native_decoder.decode_batch(flat, self.frame_size,
+                                                  self.mean, self.std,
+                                                  n_threads=self.num_threads)
+                return out.reshape(paths.shape + (self.frame_size, self.frame_size, 3))
+            except RuntimeError:
+                self.use_native = False  # fall back permanently this run
         if self._pool is not None and len(flat) > 1:
             frames = list(self._pool.map(self.load_frame, flat))
         else:
