@@ -225,7 +225,10 @@ class MultiStepLearner:
                                             count_backwards=False)
 
     def run(self):
-        self.test(self.args.model_path)
+        from orbit_tpu.utils.profiling import trace
+
+        with trace(getattr(self.args, "profile_dir", None)):
+            self.test(self.args.model_path)
         self.logfile.close()
 
     def test(self, path: Optional[str], save_evaluator: bool = True):

@@ -142,14 +142,17 @@ class SingleStepLearner:
 
     # ------------------------------------------------------------- run ----
     def run(self):
+        from orbit_tpu.utils.profiling import trace
+
         args = self.args
-        if "train" in args.mode:
-            self.train()
-        if args.mode == "train_test":
-            self.test(self.checkpoint_path_final, save_evaluator=False)
-            self.test(self.checkpoint_path_validation)
-        if args.mode == "test":
-            self.test(args.model_path)
+        with trace(getattr(args, "profile_dir", None)):
+            if "train" in args.mode:
+                self.train()
+            if args.mode == "train_test":
+                self.test(self.checkpoint_path_final, save_evaluator=False)
+                self.test(self.checkpoint_path_validation)
+            if args.mode == "test":
+                self.test(args.model_path)
         self.logfile.close()
 
     # ----------------------------------------------------------- train ----
@@ -326,19 +329,35 @@ class SingleStepLearner:
                                          self.variables, *ctx)
 
             num_target_clips = 0
-            for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,
-                                                  ep.video_labels, ep.video_paths):
-                clips = jnp.asarray(attach_frame_history(frames, args.clip_length))
-                n_real = int(mask.sum())
-                t1 = time.time()
-                logits = self.predict_fn(self.variables, task_state, clips,
-                                         jnp.asarray(ep.class_mask))
-                logits = np.asarray(logits)
-                if with_timing:
+            class_mask = jnp.asarray(ep.class_mask)
+            if with_timing:
+                # test protocol: per-video synchronous timing (reference:
+                # single-step-learner.py:327-336)
+                for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,
+                                                      ep.video_labels, ep.video_paths):
+                    clips = jnp.asarray(attach_frame_history(frames, args.clip_length))
+                    n_real = int(mask.sum())
+                    t1 = time.time()
+                    logits = np.asarray(self.predict_fn(self.variables, task_state,
+                                                        clips, class_mask))
                     evaluator.log_time((time.time() - t1) / float(n_real * args.clip_length),
                                        "inference")
-                evaluator.append_video(logits[:n_real], label, paths)
-                num_target_clips += n_real
+                    evaluator.append_video(logits[:n_real], label, paths)
+                    num_target_clips += n_real
+            else:
+                # validation: dispatch every video's predict asynchronously,
+                # then collect — overlaps host decode/transfer with device
+                # compute across videos
+                pending = []
+                for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,
+                                                      ep.video_labels, ep.video_paths):
+                    clips = jnp.asarray(attach_frame_history(frames, args.clip_length))
+                    pending.append((self.predict_fn(self.variables, task_state,
+                                                    clips, class_mask),
+                                    int(mask.sum()), label, paths))
+                for logits, n_real, label, paths in pending:
+                    evaluator.append_video(np.asarray(logits)[:n_real], label, paths)
+                    num_target_clips += n_real
 
             num_context_clips_per_task.append(int(ep.context_mask.sum()))
             num_target_clips_per_task.append(num_target_clips)

@@ -120,6 +120,9 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
     parser.add_argument("--resume_from", type=str, default=None,
                         help="Path to a checkpoint.ckpt to resume training from "
                              "(the reference's load_checkpoint is dead code; wired here).")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Write a jax.profiler device trace for the run here "
+                             "(view in TensorBoard/Perfetto).")
 
     if learner == "multi-step-learner":
         ft = parser.add_argument_group("Finetuning hyperparameters to use for personalization")
