@@ -49,6 +49,7 @@ class DatasetQueue:
         seed: Optional[int] = None,
         logfile=None,
         object_centric: bool = False,
+        cluster_label_dir: str = "data",
     ):
         self.index: DatasetIndex = build_index(
             root,
@@ -59,6 +60,7 @@ class DatasetQueue:
             filter_context=filter_by_annotations[0],
             filter_target=filter_by_annotations[1],
             with_cluster_labels=with_cluster_labels,
+            cluster_label_dir=cluster_label_dir,
             logfile=logfile,
         )
         self.cfg = SamplingConfig(

@@ -131,6 +131,29 @@ def test_single_step_resume(orbit_root, tmp_path):
     assert learner2.start_epoch == 1  # resumed after epoch 1
 
 
+def test_single_step_train_data_parallel(orbit_root, tmp_path):
+    """--data_parallel 2 routes training through the shard_map episode-DP
+    path on the virtual CPU mesh."""
+    from orbit_tpu.learners import SingleStepLearner
+
+    args = make_args(orbit_root, str(tmp_path / "ckpt"), mode="train",
+                     adapt_features=True, data_parallel=2)
+    learner = SingleStepLearner(args)
+    learner.run()
+    assert os.path.exists(learner.checkpoint_path_final)
+
+
+def test_single_step_bf16_compute(orbit_root, tmp_path):
+    """--compute_dtype bfloat16: backbone matmuls in bf16, heads f32."""
+    from orbit_tpu.learners import SingleStepLearner
+
+    args = make_args(orbit_root, str(tmp_path / "ckpt"), mode="test",
+                     compute_dtype="bfloat16")
+    learner = SingleStepLearner(args)
+    learner.run()
+    assert os.path.exists(learner.test_evaluator.json_results_path)
+
+
 def test_multi_step_finetuner(orbit_root, tmp_path):
     from orbit_tpu.learners import MultiStepLearner
 
