@@ -220,9 +220,9 @@ class MultiStepLearner:
         # The compiled personalise program already contains the backward pass,
         # so its FLOPs are counted directly (no thop-style x2 multiplier —
         # reference: multi-step-learner.py:126, ops_counter.py:13).
-        self.test_evaluator = TestEvaluator(["frame_acc"], self.checkpoint_dir,
-                                            with_ops_counter=True,
-                                            count_backwards=False)
+        self.test_evaluator = TestEvaluator(
+            list(getattr(self.args, "metrics", ["frame_acc"])),
+            self.checkpoint_dir, with_ops_counter=True, count_backwards=False)
 
     def run(self):
         from orbit_tpu.utils.profiling import trace

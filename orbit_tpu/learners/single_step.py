@@ -39,13 +39,19 @@ from orbit_tpu.utils.optim import (get_curr_learning_rates, init_optimizer,
                                    make_lr_schedule, set_learning_rate)
 
 
-def episode_to_train_dict(ep) -> Dict[str, jnp.ndarray]:
+def episode_to_train_dict(ep, clip_dtype=None) -> Dict[str, jnp.ndarray]:
+    """Device-ready train episode; ``clip_dtype`` (e.g. ml_dtypes.bfloat16)
+    casts pixels host-side so the host->device transfer is half-width when
+    the backbone computes in bf16 anyway."""
+    def clips(x):
+        return jnp.asarray(x.astype(clip_dtype) if clip_dtype is not None else x)
+
     return {
-        "context_clips": jnp.asarray(ep.context_clips),
+        "context_clips": clips(ep.context_clips),
         "context_labels": jnp.asarray(ep.context_labels),
         "context_mask": jnp.asarray(ep.context_mask),
         "class_mask": jnp.asarray(ep.class_mask),
-        "target_clips": jnp.asarray(ep.target_clips),
+        "target_clips": clips(ep.target_clips),
         "target_labels": jnp.asarray(ep.target_labels),
         "target_mask": jnp.asarray(ep.target_mask),
     }
@@ -72,6 +78,15 @@ class SingleStepLearner:
         self.train_fn = None
         self.personalise_fn, self.predict_fn = steps_lib.build_eval_fns(self.recogniser)
         self.start_epoch = 0
+        # half-width pixel transfer when the backbone computes in bf16
+        if args.compute_dtype == "bfloat16":
+            import ml_dtypes
+            self.clip_dtype = ml_dtypes.bfloat16
+        else:
+            self.clip_dtype = None
+
+    def _clips_to_device(self, x: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(x.astype(self.clip_dtype) if self.clip_dtype is not None else x)
 
     # ----------------------------------------------------------- setup ----
     def init_dataset(self):
@@ -134,7 +149,7 @@ class SingleStepLearner:
             print_and_log(self.logfile, f"loaded pretrained extractor: {pretrained}")
 
     def init_evaluators(self):
-        self.evaluation_metrics = ["frame_acc"]
+        self.evaluation_metrics = list(getattr(self.args, "metrics", ["frame_acc"]))
         self.train_evaluator = TrainEvaluator(self.evaluation_metrics)
         self.validation_evaluator = ValidationEvaluator(self.evaluation_metrics)
         self.test_evaluator = TestEvaluator(
@@ -205,7 +220,7 @@ class SingleStepLearner:
                 for step, task_dict in enumerate(tasks):
                     t1 = time.time()
                     ep = pad_episode(task_dict)
-                    ep_dict = episode_to_train_dict(ep)
+                    ep_dict = episode_to_train_dict(ep, self.clip_dtype)
                     grads, loss, logits = self.train_fn(
                         {"params": params, **rest}, ep_dict, self._next_rng())
                     loss = float(loss)
@@ -316,7 +331,7 @@ class SingleStepLearner:
             evaluator.set_task_object_list(task_dict["object_list"])
             evaluator.set_task_context_paths(task_dict["context_paths"])
 
-            ctx = (jnp.asarray(ep.context_clips), jnp.asarray(ep.context_labels),
+            ctx = (self._clips_to_device(ep.context_clips), jnp.asarray(ep.context_labels),
                    jnp.asarray(ep.context_mask), jnp.asarray(ep.class_mask))
             t1 = time.time()
             task_state = self.personalise_fn(self.variables, *ctx)
@@ -335,7 +350,7 @@ class SingleStepLearner:
                 # single-step-learner.py:327-336)
                 for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,
                                                       ep.video_labels, ep.video_paths):
-                    clips = jnp.asarray(attach_frame_history(frames, args.clip_length))
+                    clips = self._clips_to_device(attach_frame_history(frames, args.clip_length))
                     n_real = int(mask.sum())
                     t1 = time.time()
                     logits = np.asarray(self.predict_fn(self.variables, task_state,
@@ -351,7 +366,7 @@ class SingleStepLearner:
                 pending = []
                 for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,
                                                       ep.video_labels, ep.video_paths):
-                    clips = jnp.asarray(attach_frame_history(frames, args.clip_length))
+                    clips = self._clips_to_device(attach_frame_history(frames, args.clip_length))
                     pending.append((self.predict_fn(self.variables, task_state,
                                                     clips, class_mask),
                                     int(mask.sum()), label, paths))

@@ -123,6 +123,12 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Write a jax.profiler device trace for the run here "
                              "(view in TensorBoard/Perfetto).")
+    parser.add_argument("--metrics", nargs="+", type=str, default=["frame_acc"],
+                        choices=["frame_acc", "video_acc", "frames_to_recognition"],
+                        help="Evaluation metrics. The reference computes all three "
+                             "but only wires frame_acc (eval_metrics.py:27-60, "
+                             "single-step-learner.py:129-130); here any subset "
+                             "can be selected.")
 
     if learner == "multi-step-learner":
         ft = parser.add_argument_group("Finetuning hyperparameters to use for personalization")
