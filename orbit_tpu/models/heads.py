@@ -106,9 +106,12 @@ def predict_proto_cosine(head: Dict[str, jnp.ndarray], features: jnp.ndarray,
                          eps: float = 1e-8) -> jnp.ndarray:
     f = features.astype(jnp.float32)
     w = head["weight"]
-    # torch.cosine_similarity clamps each norm at eps
-    f_norm = jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), eps)
-    w_norm = jnp.maximum(jnp.linalg.norm(w, axis=1, keepdims=True), eps)
+    # torch.cosine_similarity clamps each norm at eps. The clamp must sit
+    # INSIDE the sqrt: sqrt's gradient at an all-zero row (padded classes'
+    # prototypes are exactly 0) is 0/0 = NaN, and 0 * NaN from the clamp's
+    # select still poisons the backward pass.
+    f_norm = jnp.sqrt(jnp.maximum(jnp.sum(f * f, axis=1, keepdims=True), eps * eps))
+    w_norm = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=1, keepdims=True), eps * eps))
     logits = logit_scale * ((f / f_norm) @ (w / w_norm).T)
     return _mask_logits(logits, class_mask)
 
