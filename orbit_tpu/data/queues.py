@@ -50,6 +50,8 @@ class DatasetQueue:
         logfile=None,
         object_centric: bool = False,
         cluster_label_dir: str = "data",
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
         self.index: DatasetIndex = build_index(
             root,
@@ -85,6 +87,11 @@ class DatasetQueue:
         self.prefetch = prefetch
         self.with_cluster_labels = with_cluster_labels
         self.object_centric = object_centric
+        # host-parallel loading (SURVEY.md §2.9 item 3): in a multi-host
+        # deployment each host feeds its own strided slice of the task
+        # stream; the shared seed keeps the global order deterministic
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self.rng = random.Random(seed)
 
     # --- sizing -----------------------------------------------------------
@@ -116,6 +123,8 @@ class DatasetQueue:
 
     def get_tasks(self) -> Iterator[Dict]:
         order = task_order(self.rng, len(self), self.num_tasks, self.shuffle)
+        if self.num_shards > 1:
+            order = order[self.shard_index::self.num_shards]
         if self.prefetch <= 0:
             for item in order:
                 yield self.loader.load_task(self._plan(item))

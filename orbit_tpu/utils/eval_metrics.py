@@ -211,6 +211,12 @@ class TestEvaluator(Evaluator):
             self.ops_counter.task_complete()
 
     # ------------------------------------------------------ aggregation ----
+    # video_acc / frames_to_recognition are defined per video; for the other
+    # views their per-video scores are averaged (the reference computes but
+    # never wires these metrics — its flattened aggregation would crash on
+    # them, SURVEY.md §2.6)
+    VIDEO_LEVEL_STATS = ("video_acc", "frames_to_recognition")
+
     def get_mean_stats(self, current_user: bool = False):
         """Four views (per-user / per-object / per-task / per-video), each
         mean +/- 95% CI (reference: eval_metrics.py:155-211)."""
@@ -222,31 +228,43 @@ class TestEvaluator(Evaluator):
         num_users = self.current_user + 1
         users = [self.current_user] if current_user else range(num_users)
         for stat in self.stats_to_compute:
+            per_video_stat = stat in self.VIDEO_LEVEL_STATS
             for user in users:
                 user_frame_probs = self.all_frame_probs[user]
                 user_video_labels = self.all_video_labels[user]
 
                 obj2probs: Dict[int, list] = {}
-                flat_user_probs, flat_user_labels = [], []
+                obj2vscores: Dict[int, list] = {}
+                flat_user_probs, flat_user_labels, user_vscores = [], [], []
                 for task in range(len(user_frame_probs)):
-                    flat_task_probs, flat_task_labels = [], []
+                    flat_task_probs, flat_task_labels, task_vscores = [], [], []
                     for video_label, frame_probs in zip(user_video_labels[task],
                                                         user_frame_probs[task]):
-                        video_scores[stat].append(self.stat_fns[stat](video_label, frame_probs))
+                        vscore = self.stat_fns[stat](video_label, frame_probs)
+                        video_scores[stat].append(vscore)
+                        task_vscores.append(vscore)
                         flat_task_probs.extend(frame_probs)
                         flat_task_labels.extend(np.repeat(video_label, frame_probs.shape[0]))
                         obj2probs.setdefault(int(video_label), []).extend(frame_probs)
+                        obj2vscores.setdefault(int(video_label), []).append(vscore)
 
-                    task_scores[stat].append(self.stat_fns[stat](
-                        np.array(flat_task_labels), np.vstack(flat_task_probs)))
+                    task_scores[stat].append(
+                        float(np.mean(task_vscores)) if per_video_stat
+                        else self.stat_fns[stat](np.array(flat_task_labels),
+                                                 np.vstack(flat_task_probs)))
                     flat_user_probs.extend(flat_task_probs)
                     flat_user_labels.extend(flat_task_labels)
+                    user_vscores.extend(task_vscores)
 
-                for obj, probs in obj2probs.items():
-                    object_scores[stat].append(self.stat_fns[stat](np.array(obj), np.vstack(probs)))
+                for obj in obj2probs:
+                    object_scores[stat].append(
+                        float(np.mean(obj2vscores[obj])) if per_video_stat
+                        else self.stat_fns[stat](np.array(obj), np.vstack(obj2probs[obj])))
 
-                user_scores[stat].append(self.stat_fns[stat](
-                    np.array(flat_user_labels), np.vstack(flat_user_probs)))
+                user_scores[stat].append(
+                    float(np.mean(user_vscores)) if per_video_stat
+                    else self.stat_fns[stat](np.array(flat_user_labels),
+                                             np.vstack(flat_user_probs)))
 
         return (self.average_over_scores(user_scores),
                 self.average_over_scores(object_scores),

@@ -36,17 +36,21 @@ def make_args(data_path, checkpoint_dir, **overrides):
         "--feature_extractor": "efficientnet_b0",
         "--learning_rate": "1e-3",
     }
-    bools = []
+    bools, multi = [], []
     for k, v in overrides.items():
         flag = f"--{k}"
         if isinstance(v, bool):
             if v:
                 bools.append(flag)
             flags.pop(flag, None)
+        elif isinstance(v, (list, tuple)):
+            multi.append((flag, [str(x) for x in v]))
         else:
             flags[flag] = str(v)
     for f, v in flags.items():
         argv.extend([f, v])
+    for f, vals in multi:
+        argv.extend([f, *vals])
     argv.extend(bools)
     # frame_size 84 isn't a reference choice restriction problem: both 84/224 allowed
     return parse_args(learner, argv)
@@ -152,6 +156,22 @@ def test_single_step_bf16_compute(orbit_root, tmp_path):
     learner = SingleStepLearner(args)
     learner.run()
     assert os.path.exists(learner.test_evaluator.json_results_path)
+
+
+def test_all_metrics_selectable(orbit_root, tmp_path):
+    """--metrics wires video_acc and frames_to_recognition through the full
+    CLU-VE protocol (the reference computes but never wires them)."""
+    from orbit_tpu.learners import SingleStepLearner
+
+    args = make_args(orbit_root, str(tmp_path / "ckpt"), mode="test",
+                     metrics=["frame_acc", "video_acc", "frames_to_recognition"])
+    learner = SingleStepLearner(args)
+    evaluator = learner.test_evaluator
+    learner._run_eval_protocol(learner.test_queue, evaluator,
+                               args.num_test_tasks, "test", with_timing=False)
+    user_s, _, _, video_s = evaluator.get_mean_stats()
+    for stat in ("frame_acc", "video_acc", "frames_to_recognition"):
+        assert stat in video_s and 0.0 <= video_s[stat][0] <= 1.0
 
 
 def test_multi_step_finetuner(orbit_root, tmp_path):

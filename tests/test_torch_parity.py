@@ -63,6 +63,50 @@ def test_vit_b32_matches_torch_reference():
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
 
 
+def torch_vit_b32_clip_forward(sd, x):
+    """timm vit_base_patch32_clip_224: pre-norm after patch embed, LN eps
+    1e-5 (the laion2b weights the reference pins,
+    feature_extractors.py:58-64)."""
+    sd = {k: torch.as_tensor(v) for k, v in sd.items()}
+    n = x.shape[0]
+    d, heads, hd = 768, 12, 64
+    x = F.conv2d(x, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"], stride=32)
+    x = x.flatten(2).transpose(1, 2)
+    x = torch.cat([sd["cls_token"].expand(n, -1, -1), x], dim=1) + sd["pos_embed"]
+    x = F.layer_norm(x, (d,), sd["norm_pre.weight"], sd["norm_pre.bias"], 1e-5)
+    s = x.shape[1]
+    for i in range(12):
+        p = f"blocks.{i}"
+        h = F.layer_norm(x, (d,), sd[f"{p}.norm1.weight"], sd[f"{p}.norm1.bias"], 1e-5)
+        qkv = h @ sd[f"{p}.attn.qkv.weight"].T + sd[f"{p}.attn.qkv.bias"]
+        q, k, v = qkv.reshape(n, s, 3, heads, hd).permute(2, 0, 3, 1, 4)
+        att = torch.softmax((q @ k.transpose(-2, -1)) / math.sqrt(hd), dim=-1)
+        o = (att @ v).transpose(1, 2).reshape(n, s, d)
+        x = x + o @ sd[f"{p}.attn.proj.weight"].T + sd[f"{p}.attn.proj.bias"]
+        h = F.layer_norm(x, (d,), sd[f"{p}.norm2.weight"], sd[f"{p}.norm2.bias"], 1e-5)
+        h = F.gelu(h @ sd[f"{p}.mlp.fc1.weight"].T + sd[f"{p}.mlp.fc1.bias"])
+        x = x + h @ sd[f"{p}.mlp.fc2.weight"].T + sd[f"{p}.mlp.fc2.bias"]
+    x = F.layer_norm(x, (d,), sd["norm.weight"], sd["norm.bias"], 1e-5)
+    return x[:, 0]
+
+
+def test_vit_b32_clip_matches_torch_reference():
+    sd = fake_timm_vit_b_32()
+    sd["norm_pre.weight"] = np.ones(768, np.float32)
+    sd["norm_pre.bias"] = np.zeros(768, np.float32)
+    for k in list(sd):
+        if k.endswith("weight") and sd[k].ndim >= 2:
+            sd[k] = sd[k] * 0.02
+    module, _, _ = create_feature_extractor("vit_b_32_clip")
+    params, _ = convert_extractor(sd, "vit_b_32_clip")
+
+    x = np.random.default_rng(3).standard_normal((2, 224, 224, 3)).astype(np.float32)
+    ours = np.asarray(jax.jit(module.apply)(
+        {"params": jax.tree_util.tree_map(np.asarray, params)}, x))
+    theirs = torch_vit_b32_clip_forward(sd, torch.as_tensor(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
 # --------------------------------------------------------- EfficientNet ----
 def tf_same_conv(x, w, stride, groups=1):
     """TF-SAME padding convolution (timm Conv2dSame semantics)."""
