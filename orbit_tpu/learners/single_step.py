@@ -210,7 +210,7 @@ class SingleStepLearner:
             grads_acc = None
             tasks = list(self.train_queue.get_tasks()) if dp > 1 else self.train_queue.get_tasks()
             if dp > 1:
-                params, opt_state, epoch_losses = self.edp.train_epoch(
+                params, rest, opt_state, epoch_losses = self.edp.train_epoch(
                     params, rest, opt_state, tasks, self._next_rng,
                     self.train_evaluator)
                 losses.extend(epoch_losses)
@@ -221,8 +221,11 @@ class SingleStepLearner:
                     t1 = time.time()
                     ep = pad_episode(task_dict)
                     ep_dict = episode_to_train_dict(ep, self.clip_dtype)
-                    grads, loss, logits = self.train_fn(
+                    grads, loss, logits, new_stats = self.train_fn(
                         {"params": params, **rest}, ep_dict, self._next_rng())
+                    if new_stats is not None:  # BN running stats (learn_extractor)
+                        rest = {**rest,
+                                "batch_stats": {**rest["batch_stats"], "extractor": new_stats}}
                     loss = float(loss)
                     losses.append(loss)
                     n_valid = int(ep.target_mask.sum())

@@ -81,23 +81,34 @@ def build_train_task(recogniser: SingleStepFewShotRecogniser, args,
 
     def loss_fn(params, rest, episode):
         variables = {"params": _freeze_extractor(params, args.learn_extractor), **rest}
+        # when meta-training the extractor, BN running stats update through
+        # the context then target passes, mirroring the reference's
+        # extractor.train() forwards (few_shot_recognisers.py:176-183); the
+        # padded rows contribute to batch stats (an approximation inherent to
+        # fixed-shape episodes — the masks only guard losses/means)
         task_state = recogniser.personalise(
             variables, episode["context_clips"], episode["context_labels"],
             episode["context_mask"], episode["class_mask"].shape[0],
-            train=train_bn, with_grad=True)
-        logits = recogniser.predict(
+            train=train_bn, with_grad=True, collect_stats=train_bn)
+        new_stats = task_state["batch_stats"]
+        if new_stats is not None:
+            variables = {**variables,
+                         "batch_stats": {**variables["batch_stats"], "extractor": new_stats}}
+        pred = recogniser.predict(
             variables, task_state, episode["target_clips"],
-            class_mask=episode["class_mask"], train=train_bn, with_grad=True)
+            class_mask=episode["class_mask"], train=train_bn, with_grad=True,
+            collect_stats=train_bn)
+        logits, new_stats = pred if train_bn else (pred, None)
         ce = cross_entropy(logits, episode["target_labels"], episode["target_mask"])
         loss = ce / tasks_per_batch + FILM_REG_WEIGHT * task_state["film_l2"]
-        return loss, logits
+        return loss, (logits, new_stats)
 
     def train_task(variables, episode, rng):
         del rng  # non-LITE uses no per-task randomness on device
         params, rest = _split_variables(variables)
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, rest, episode)
-        return grads, loss, logits
+        return grads, loss, logits, new_stats
 
     return jax.jit(train_task) if jit else train_task
 
@@ -181,9 +192,18 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
             emb = (caches["reps"] * fm[..., None]).sum(axis=(0, 1)) / jnp.maximum(fm.sum(), 1.0)
             cache_film, _ = recogniser.generate_film(nograd_vars, emb)
             cache_film = jax.lax.stop_gradient(cache_film)
-        caches["feats"] = jax.lax.stop_gradient(recogniser.embed_clips(
-            nograd_vars, episode["context_clips"], cache_film,
-            train=train_bn, with_grad=False))
+        # the cache pass is where the reference's train-mode BN sees the full
+        # context, so running stats update here (few_shot_recognisers.py:415-437)
+        new_stats = None
+        if train_bn:
+            feats_cache, new_stats = recogniser.embed_clips(
+                nograd_vars, episode["context_clips"], cache_film,
+                train=True, with_grad=False, collect_stats=True)
+            caches["feats"] = jax.lax.stop_gradient(feats_cache)
+        else:
+            caches["feats"] = jax.lax.stop_gradient(recogniser.embed_clips(
+                nograd_vars, episode["context_clips"], cache_film,
+                train=train_bn, with_grad=False))
 
         # ---- scan over target batches, carrying accumulated grads ----
         m = episode["target_clips"].shape[0]
@@ -215,7 +235,7 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
         (grads, loss), logits = jax.lax.scan(
             body, (tree_zeros_like(params), jnp.float32(0.0)),
             (rngs, tgt_clips, tgt_labels, tgt_mask))
-        return grads, loss, logits.reshape(nb * batch_size, -1)[:m]
+        return grads, loss, logits.reshape(nb * batch_size, -1)[:m], new_stats
 
     return jax.jit(train_task_lite) if jit else train_task_lite
 

@@ -107,42 +107,71 @@ class FewShotRecogniser:
 
     def embed_frames(self, variables, frames: jnp.ndarray,
                      film_values=None, train: bool = False,
-                     with_grad: bool = True) -> jnp.ndarray:
+                     with_grad: bool = True, collect_stats: bool = False):
         """(N, H, W, 3) -> (N, D) float32 frame features, chunked to bound
         activation memory (reference: _get_features_in_batches,
-        few_shot_recognisers.py:124-153)."""
+        few_shot_recognisers.py:124-153).
+
+        ``collect_stats`` (meta-training with ``learn_extractor``): also
+        return the extractor's updated BatchNorm running stats, threaded
+        chunk-to-chunk like torch's sequential batch updates (reference:
+        _set_batch_norm_state puts the extractor in train() so every forward
+        updates running stats). Returns (feats, new_stats) in that case.
+        """
         ex_vars = self._extractor_vars(variables, film_values)
         n = frames.shape[0]
         b = min(self.batch_size, n)
+        collect = collect_stats and train and "batch_stats" in ex_vars
 
         def run(chunk):
-            # train-mode BN uses batch statistics; the running-stat updates are
-            # discarded (see module docstring for the documented deviation)
             out = self.extractor.apply(ex_vars, chunk, train=train,
                                        **({"mutable": ["batch_stats"]} if train else {}))
             return out[0] if train else out
 
+        def run_stateful(stats, chunk):
+            out, mut = self.extractor.apply(
+                {**ex_vars, "batch_stats": stats}, chunk, train=True,
+                mutable=["batch_stats"])
+            return jax.lax.stop_gradient(mut["batch_stats"]), out
+
+        new_stats = None
         if n <= b:
-            feats = run(frames)
+            if collect:
+                new_stats, feats = run_stateful(ex_vars["batch_stats"], frames)
+            else:
+                feats = run(frames)
         else:
             n_pad = _round_up(n, b)
             padded = jnp.concatenate(
                 [frames, jnp.zeros((n_pad - n,) + frames.shape[1:], frames.dtype)])
             chunks = padded.reshape(n_pad // b, b, *frames.shape[1:])
-            body = jax.checkpoint(run) if with_grad else run
-            feats = jax.lax.map(body, chunks).reshape(n_pad, -1)[:n]
+            if collect:
+                body = jax.checkpoint(run_stateful) if with_grad else run_stateful
+                new_stats, feats = jax.lax.scan(body, ex_vars["batch_stats"], chunks)
+                feats = feats.reshape(n_pad, -1)[:n]
+            else:
+                body = jax.checkpoint(run) if with_grad else run
+                feats = jax.lax.map(body, chunks).reshape(n_pad, -1)[:n]
         if not with_grad:
             feats = jax.lax.stop_gradient(feats)
-        return feats.astype(jnp.float32)
+        feats = feats.astype(jnp.float32)
+        if collect_stats:
+            return feats, new_stats
+        return feats
 
     def embed_clips(self, variables, clips: jnp.ndarray, film_values=None,
-                    train: bool = False, with_grad: bool = True) -> jnp.ndarray:
+                    train: bool = False, with_grad: bool = True,
+                    collect_stats: bool = False):
         """(N, T, H, W, 3) -> (N, D): frame features mean-pooled per clip
         (reference: _get_features + _pool_features)."""
         n, t = clips.shape[:2]
         frames = clips.reshape(n * t, *clips.shape[2:])
-        feats = self.embed_frames(variables, frames, film_values, train, with_grad)
-        return mean_pool_clips(feats, t)
+        out = self.embed_frames(variables, frames, film_values, train,
+                                with_grad, collect_stats=collect_stats)
+        if collect_stats:
+            feats, new_stats = out
+            return mean_pool_clips(feats, t), new_stats
+        return mean_pool_clips(out, t)
 
     # ------------------------------------------------------ set encoding ----
     def _encode_set_frames(self, variables, frames: jnp.ndarray) -> jnp.ndarray:
@@ -209,7 +238,8 @@ class SingleStepFewShotRecogniser(FewShotRecogniser):
     def personalise(self, variables, context_clips, context_labels,
                     context_mask, num_classes: int,
                     train: bool = False,
-                    with_grad: Optional[bool] = None) -> TaskState:
+                    with_grad: Optional[bool] = None,
+                    collect_stats: bool = False) -> TaskState:
         """Full personalisation: task embedding -> FiLM -> context features ->
         head configure (reference: personalise, few_shot_recognisers.py:313-326).
 
@@ -225,11 +255,18 @@ class SingleStepFewShotRecogniser(FewShotRecogniser):
         if self.adapt_features:
             emb = self.task_embedding(variables, context_clips, context_mask)
             film_values, film_l2 = self.generate_film(variables, emb)
-        feats = self.embed_clips(variables, context_clips, film_values,
-                                 train=train, with_grad=with_grad)
+        new_stats = None
+        if collect_stats:
+            feats, new_stats = self.embed_clips(
+                variables, context_clips, film_values, train=train,
+                with_grad=with_grad, collect_stats=True)
+        else:
+            feats = self.embed_clips(variables, context_clips, film_values,
+                                     train=train, with_grad=with_grad)
         head = self.configure_head(variables, feats, context_labels,
                                    context_mask, num_classes)
-        return {"film": film_values, "head": head, "film_l2": film_l2}
+        return {"film": film_values, "head": head, "film_l2": film_l2,
+                "batch_stats": new_stats}
 
     def personalise_with_lite(self, variables, context_clips, context_labels,
                               context_mask, num_classes: int, rng,
@@ -268,13 +305,19 @@ class SingleStepFewShotRecogniser(FewShotRecogniser):
         feats = feats.at[grad_idxs].set(grad_feats)
         head = self.configure_head(variables, feats, context_labels,
                                    context_mask, num_classes)
-        return {"film": film_values, "head": head, "film_l2": film_l2}
+        return {"film": film_values, "head": head, "film_l2": film_l2,
+                "batch_stats": None}
 
     def predict(self, variables, task_state: TaskState, clips,
                 class_mask=None, train: bool = False,
-                with_grad: bool = False) -> jnp.ndarray:
+                with_grad: bool = False, collect_stats: bool = False):
         """Logits for target clips under the personalised state
         (reference: predict / predict_a_batch, few_shot_recognisers.py:453-473)."""
+        if collect_stats:
+            feats, new_stats = self.embed_clips(
+                variables, clips, task_state["film"], train=train,
+                with_grad=with_grad, collect_stats=True)
+            return self.head_logits(task_state["head"], feats, class_mask), new_stats
         feats = self.embed_clips(variables, clips, task_state["film"],
                                  train=train, with_grad=with_grad)
         return self.head_logits(task_state["head"], feats, class_mask)

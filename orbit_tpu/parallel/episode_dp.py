@@ -78,19 +78,32 @@ class EpisodeDataParallel:
             mesh-summed gradient — adding our own psum would double it
             (verified against serial accumulation in tests/test_parallel.py).
             """
-            def per_task(episode, rng):
-                return task_fn({"params": params, **rest}, episode, rng)
+            # BN stats thread chunk-to-chunk through a scan whose carry
+            # becomes device-varying once it mixes with the sharded batch;
+            # pre-vary them so the scan carry types match (params must stay
+            # replicated for the auto-psum'd cotangent)
+            local_rest = jax.tree_util.tree_map(
+                lambda x: jax.lax.pvary(x, ("dp",)), rest)
 
-            grads, losses, logits = jax.vmap(per_task)(batch, rngs)
+            def per_task(episode, rng):
+                return task_fn({"params": params, **local_rest}, episode, rng)
+
+            grads, losses, logits, new_stats = jax.vmap(per_task)(batch, rngs)
             # sum this chip's task grads (each pre-scaled by 1/tasks_per_batch);
             # the replicated-param cotangent already carries the psum
             grads = jax.tree_util.tree_map(lambda g: g.sum(axis=0), grads)
-            return grads, losses, logits
+            if new_stats is not None:
+                # BN running stats: average across the task batch and the mesh
+                # (unsynced-per-replica is the torch default; averaging is the
+                # standard multi-chip choice)
+                new_stats = jax.tree_util.tree_map(lambda s: s.mean(axis=0), new_stats)
+                new_stats = jax.lax.pmean(new_stats, axis_name="dp")
+            return grads, losses, logits, new_stats
 
         sharded = jax.shard_map(
             local_grads, mesh=self.mesh,
             in_specs=(P(), P(), P("dp"), P("dp")),
-            out_specs=(P(), P("dp"), P("dp")),
+            out_specs=(P(), P("dp"), P("dp"), P()),
         )
 
         def update(params, opt_state, grads):
@@ -128,7 +141,11 @@ class EpisodeDataParallel:
             group = [pad_episode(t) for t in tasks[g * dp:(g + 1) * dp]]
             batch = stack_group(group)
             rngs = jnp.stack([next_rng() for _ in range(dp)])
-            grads, group_losses, logits = self.batch_grads(params, rest, batch, rngs)
+            grads, group_losses, logits, new_stats = self.batch_grads(
+                params, rest, batch, rngs)
+            if new_stats is not None:
+                rest = {**rest, "batch_stats": {**rest["batch_stats"],
+                                                "extractor": new_stats}}
             grads_acc = grads if grads_acc is None else self._acc(grads_acc, grads)
             losses.extend(float(l) for l in np.asarray(group_losses).reshape(-1))
             if evaluator is not None:
@@ -141,4 +158,4 @@ class EpisodeDataParallel:
             if (g + 1) % groups_per_update == 0 or g == n_groups - 1:
                 params, opt_state = self._apply(params, opt_state, grads_acc)
                 grads_acc = None
-        return params, opt_state, losses
+        return params, rest, opt_state, losses

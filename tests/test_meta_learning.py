@@ -67,7 +67,9 @@ def test_meta_training_reduces_loss(with_lite):
     for step in range(n_tasks):
         ep = {k: jnp.asarray(v) for k, v in colour_episode(rng).items()}
         key, sub = jax.random.split(key)
-        grads, loss, _ = train_fn({"params": params, **rest}, ep, sub)
+        grads, loss, _, new_stats = train_fn({"params": params, **rest}, ep, sub)
+        if new_stats is not None:
+            rest = {**rest, "batch_stats": {**rest["batch_stats"], "extractor": new_stats}}
         losses.append(float(loss))
         grads_acc = grads if grads_acc is None else steps_lib.accumulate_grads(grads_acc, grads)
         if (step + 1) % args.tasks_per_batch == 0:

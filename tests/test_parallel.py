@@ -59,12 +59,12 @@ def test_dp_grads_match_serial_sum(tiny_model):
     rngs = jax.random.split(jax.random.PRNGKey(7), 2)
 
     edp = EpisodeDataParallel(rec, args, tx, mesh=make_mesh(2))
-    dp_grads, dp_losses, dp_logits = edp.batch_grads(params, rest, batch, rngs)
+    dp_grads, dp_losses, dp_logits, _ = edp.batch_grads(params, rest, batch, rngs)
 
     task_fn = steps_lib.build_train_task(rec, args)
     serial = None
     for ep, r in zip(eps, rngs):
-        g, loss, logits = task_fn(variables, {k: jnp.asarray(v) for k, v in ep.items()}, r)
+        g, loss, logits, _ = task_fn(variables, {k: jnp.asarray(v) for k, v in ep.items()}, r)
         serial = g if serial is None else jax.tree_util.tree_map(jnp.add, serial, g)
 
     flat_dp = jax.tree_util.tree_leaves(dp_grads)
@@ -102,12 +102,33 @@ def test_dp_train_epoch_updates_params(tiny_model, orbit_fixture_tree, tmp_path)
         rng_state["key"], sub = jax.random.split(rng_state["key"])
         return sub
 
-    new_params, _, losses = edp.train_epoch(params, rest, opt_state,
-                                            tasks[:2], next_rng)
+    new_params, _, _, losses = edp.train_epoch(params, rest, opt_state,
+                                               tasks[:2], next_rng)
     assert losses and np.isfinite(losses).all()
     before = jax.tree_util.tree_leaves(params["film_generator"])[0]
     after = jax.tree_util.tree_leaves(new_params["film_generator"])[0]
     assert np.abs(np.asarray(before) - np.asarray(after)).max() > 0
+
+
+def test_bn_running_stats_update_when_learning_extractor(tiny_model):
+    """Meta-training with learn_extractor must move the extractor's BN
+    running stats (reference: extractor.train() during meta-training,
+    few_shot_recognisers.py:176-183); a frozen extractor must not."""
+    from orbit_tpu.learners import steps as steps_lib
+
+    rec, variables = tiny_model
+    rng = np.random.default_rng(1)
+    ep = {k: jnp.asarray(v) for k, v in synthetic_episode(rng).items()}
+
+    task_fn = steps_lib.build_train_task(rec, tiny_args())
+    _, _, _, new_stats = task_fn(variables, ep, jax.random.PRNGKey(0))
+    assert new_stats is not None
+    old = variables["batch_stats"]["extractor"]["bn1"]["mean"]
+    assert np.abs(np.asarray(new_stats["bn1"]["mean"]) - np.asarray(old)).max() > 0
+
+    frozen_fn = steps_lib.build_train_task(rec, tiny_args(learn_extractor=False))
+    _, _, _, none_stats = frozen_fn(variables, ep, jax.random.PRNGKey(0))
+    assert none_stats is None
 
 
 def test_stack_group_repads_mixed_buckets():
