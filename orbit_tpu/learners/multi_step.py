@@ -195,6 +195,9 @@ class MultiStepLearner:
             "logfile": self.logfile,
         }
         self.test_queue = DataLoader(dataset_info).get_test_queue()
+        cache = getattr(args, "frame_cache", 0)
+        if cache:
+            self.test_queue.loader.enable_cache(cache)
 
     def init_model(self):
         args = self.args

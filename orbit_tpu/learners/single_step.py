@@ -126,6 +126,11 @@ class SingleStepLearner:
         self.train_queue = dataloader.get_train_queue()
         self.validation_queue = dataloader.get_validation_queue()
         self.test_queue = dataloader.get_test_queue()
+        cache = getattr(args, "frame_cache", 0)
+        if cache:  # eval queues resample the same videos 50x per user
+            for q in (self.validation_queue, self.test_queue):
+                if q is not None:
+                    q.loader.enable_cache(cache)
 
     def init_model(self):
         args = self.args

@@ -123,6 +123,11 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Write a jax.profiler device trace for the run here "
                              "(view in TensorBoard/Perfetto).")
+    parser.add_argument("--frame_cache", type=int, default=0,
+                        help="Memoise up to N decoded frames across tasks in the "
+                             "test/validation loaders. The CLU-VE protocol samples 50 "
+                             "tasks per user from the same videos; the reference "
+                             "re-decodes every frame every task (its pipeline hot loop).")
     parser.add_argument("--metrics", nargs="+", type=str, default=["frame_acc"],
                         choices=["frame_acc", "video_acc", "frames_to_recognition"],
                         help="Evaluation metrics. The reference computes all three "
