@@ -353,7 +353,28 @@ class SingleStepLearner:
 
             num_target_clips = 0
             class_mask = jnp.asarray(ep.class_mask)
-            if with_timing:
+            same_bucket = len({f.shape[0] for f in ep.video_frames}) == 1
+            if getattr(args, "batch_videos", False) and same_bucket and len(ep.video_frames) > 1:
+                # one dispatch for the whole task's query set (V, F, ...)
+                v, f = len(ep.video_frames), ep.video_frames[0].shape[0]
+                clips = np.stack([attach_frame_history(fr, args.clip_length)
+                                  for fr in ep.video_frames]).reshape(
+                    v * f, args.clip_length, *ep.video_frames[0].shape[1:])
+                t1 = time.time()
+                logits = np.asarray(self.predict_fn(self.variables, task_state,
+                                                    self._clips_to_device(clips),
+                                                    class_mask)).reshape(v, f, -1)
+                total_real = int(sum(m.sum() for m in ep.video_masks))
+                per_frame = (time.time() - t1) / float(total_real * args.clip_length)
+                for vi, (mask, label, paths) in enumerate(zip(ep.video_masks,
+                                                              ep.video_labels,
+                                                              ep.video_paths)):
+                    n_real = int(mask.sum())
+                    if with_timing:
+                        evaluator.log_time(per_frame, "inference")
+                    evaluator.append_video(logits[vi][:n_real], label, paths)
+                    num_target_clips += n_real
+            elif with_timing:
                 # test protocol: per-video synchronous timing (reference:
                 # single-step-learner.py:327-336)
                 for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,

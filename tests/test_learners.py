@@ -174,6 +174,28 @@ def test_all_metrics_selectable(orbit_root, tmp_path):
         assert stat in video_s and 0.0 <= video_s[stat][0] <= 1.0
 
 
+def test_batched_videos_matches_unbatched(orbit_root, tmp_path):
+    """--batch_videos (one dispatch per task) must reproduce the per-video
+    predictions of the serial path exactly."""
+    import jax
+    from orbit_tpu.learners import SingleStepLearner
+
+    outs = []
+    for batched in (False, True):
+        args = make_args(orbit_root, str(tmp_path / f"ckpt{batched}"), mode="test",
+                         test_target_clip_method="random_200",
+                         batch_videos=batched)
+        learner = SingleStepLearner(args)
+        ev = learner.test_evaluator
+        learner._run_eval_protocol(learner.test_queue, ev, args.num_test_tasks,
+                                   "test", with_timing=False)
+        outs.append([np.concatenate([p.reshape(-1) for task in user for p in task])
+                     for user in ev.all_frame_probs[:ev.current_user + 1]])
+        ev.reset()
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_multi_step_finetuner(orbit_root, tmp_path):
     from orbit_tpu.learners import MultiStepLearner
 
