@@ -77,6 +77,14 @@ class SingleStepLearner:
 
         self.train_fn = None
         self.personalise_fn, self.predict_fn = steps_lib.build_eval_fns(self.recogniser)
+        if getattr(args, "data_parallel", 1) > 1 and "test" in args.mode:
+            # multi-chip eval: shard each predict's query axis over the mesh
+            import jax as _jax
+            if len(_jax.devices()) >= args.data_parallel:
+                from orbit_tpu.parallel import ShardedQuery, make_mesh
+                sq = ShardedQuery(self.recogniser, mesh=make_mesh(args.data_parallel))
+                self.predict_fn = lambda variables, state, clips, cm: sq.predict(
+                    variables, state, clips, cm)
         self.start_epoch = 0
         # half-width pixel transfer when the backbone computes in bf16
         if args.compute_dtype == "bfloat16":

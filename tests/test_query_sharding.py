@@ -32,6 +32,28 @@ def test_sharded_query_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_learner_eval_uses_sharded_predict(orbit_fixture_tree, tmp_path_factory):
+    """--data_parallel at test time routes predicts through ShardedQuery and
+    reproduces the CLU-VE protocol end to end."""
+    import json
+    import os
+
+    from tests.test_learners import make_args
+    from orbit_tpu.learners import SingleStepLearner
+
+    root = tmp_path_factory.mktemp("root")
+    src = os.path.realpath(orbit_fixture_tree)
+    for mode in ("train", "validation", "test"):
+        os.symlink(src, root / mode)
+
+    args = make_args(str(root), str(tmp_path_factory.mktemp("ck")), mode="test",
+                     data_parallel=2)
+    learner = SingleStepLearner(args)
+    learner.run()
+    with open(learner.test_evaluator.json_results_path) as f:
+        assert set(json.load(f)) == {"P001", "P002"}
+
+
 def test_host_sharded_task_stream(orbit_fixture_tree):
     from orbit_tpu.data.queues import UserEpisodicDatasetQueue
 
