@@ -18,6 +18,7 @@ from orbit_tpu.models.convert import (convert_extractor, load_pretrained_extract
 def fake_timm_efficientnet_b0():
     """timm tf_efficientnet_b0 state dict: names/shapes per timm's
     EfficientNet builder (stem 32, arch from the paper, head 1280)."""
+    torch.manual_seed(0)
     sd = {}
 
     # magnitudes chosen so 17 stacked blocks of random weights stay finite
@@ -44,7 +45,7 @@ def fake_timm_efficientnet_b0():
         for b in range(repeats):
             p = f"blocks.{s}.{b}"
             if btype == "ds":
-                sd[f"{p}.conv_dw.weight"] = torch.randn(in_chs, 1, k, k)
+                sd[f"{p}.conv_dw.weight"] = torch.randn(in_chs, 1, k, k) * (k * k) ** -0.5
                 bn(f"{p}.bn1", in_chs)
                 se(f"{p}.se", in_chs, max(1, int(in_chs * se_ratio)))
                 conv(f"{p}.conv_pw", out_chs, in_chs, 1)
@@ -53,7 +54,7 @@ def fake_timm_efficientnet_b0():
                 mid = int(in_chs * exp)
                 conv(f"{p}.conv_pw", mid, in_chs, 1)
                 bn(f"{p}.bn1", mid)
-                sd[f"{p}.conv_dw.weight"] = torch.randn(mid, 1, k, k)
+                sd[f"{p}.conv_dw.weight"] = torch.randn(mid, 1, k, k) * (k * k) ** -0.5
                 bn(f"{p}.bn2", mid)
                 se(f"{p}.se", mid, max(1, int(in_chs * se_ratio)))
                 conv(f"{p}.conv_pwl", out_chs, mid, 1)
@@ -67,6 +68,7 @@ def fake_timm_efficientnet_b0():
 
 
 def fake_timm_vit_b_32():
+    torch.manual_seed(1)
     sd = {}
     d, depth, patches = 768, 12, 49
     sd["cls_token"] = torch.randn(1, 1, d)

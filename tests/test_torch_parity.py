@@ -160,6 +160,7 @@ def fake_timm_efficientnet_v2_s():
     """timm tf_efficientnetv2_s state dict (stem 24, cn/er/ir stages)."""
     from orbit_tpu.models.backbones.efficientnet import V2_S_ARCH
 
+    torch.manual_seed(2)
     sd = {}
 
     def conv(name, o, i, k):
@@ -195,7 +196,7 @@ def fake_timm_efficientnet_v2_s():
             else:  # ir
                 conv(f"{p}.conv_pw", mid, in_chs, 1)
                 bn(f"{p}.bn1", mid)
-                sd[f"{p}.conv_dw.weight"] = torch.randn(mid, 1, k, k).numpy()
+                sd[f"{p}.conv_dw.weight"] = (torch.randn(mid, 1, k, k) * (k * k) ** -0.5).numpy()
                 bn(f"{p}.bn2", mid)
                 se(f"{p}.se", mid, max(1, int(in_chs * se_ratio)))
                 conv(f"{p}.conv_pwl", out_chs, mid, 1)
