@@ -37,6 +37,45 @@ def colour_episode(rng, way=3, n_ctx=12, n_tgt=12, size=32):
     }
 
 
+def test_lite_grads_equal_full_backprop_at_full_subset():
+    """With num_lite_samples == len(context) and the whole target set in one
+    batch, LITE's loss collapses to the non-LITE loss exactly:
+    scaling = n/(L*tpb) = 1/tpb and the grad subset covers everything
+    (single-step-learner.py:231 vs :203), so gradients must match."""
+    n = 8
+    args = SimpleNamespace(tasks_per_batch=4, learn_extractor=True,
+                           with_lite=True, num_lite_samples=n, batch_size=n,
+                           optimizer="adam", learning_rate=1e-3,
+                           weight_decay=0.0, betas=(0.9, 0.999), epsilon=1e-8)
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", adapt_features=True,
+        classifier="proto", batch_size=n, learn_extractor=True,
+        num_lite_samples=n)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=32)
+
+    rng = np.random.default_rng(3)
+    ep = {k: jnp.asarray(v) for k, v in
+          colour_episode(rng, way=3, n_ctx=n, n_tgt=n).items()}
+
+    lite_fn = steps_lib.build_train_task_lite(rec, args)
+    full_fn = steps_lib.build_train_task(rec, args)
+    g_lite, l_lite, _, _ = lite_fn(variables, ep, jax.random.PRNGKey(1))
+    g_full, l_full, _, _ = full_fn(variables, ep, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(l_lite), float(l_full), rtol=1e-5)
+    flat_l = jax.tree_util.tree_flatten_with_path(g_lite)[0]
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(g_full)[0])
+    for key, a in flat_l:
+        b = flat_f[key]
+        # the two paths reassociate f32 sums differently (scatter + cached
+        # recompute vs direct), so compare against each leaf's scale rather
+        # than elementwise relative error (tiny elements otherwise dominate)
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 5e-2 * float(np.abs(b).max()) + 2e-4
+        assert float(np.abs(a - b).max()) <= tol, \
+            f"{jax.tree_util.keystr(key)}: max diff {np.abs(a - b).max()} vs tol {tol}"
+
+
 @pytest.mark.parametrize("with_lite", [False, True])
 def test_meta_training_reduces_loss(with_lite):
     # cosine head: scale-invariant logits so CE starts near ln(way) and the
