@@ -12,10 +12,13 @@ Reference equivalents:
 - ``build_eval_fns``         <- the personalise/predict calls in
   validate/test (single-step-learner.py:245-375)
 
-Gradient-accumulation contract: each train step returns the task's gradient
-contribution (already scaled by ``1/tasks_per_batch`` like the reference's
-scaled ``loss.backward()``); the driver accumulates with ``accumulate_grads``
-and applies one optimiser update every ``tasks_per_batch`` tasks.
+Gradient-accumulation contract: each train step returns
+``(grads, loss, target_logits, new_bn_stats_or_None)`` — the gradient is the
+task's contribution already scaled by ``1/tasks_per_batch`` like the
+reference's scaled ``loss.backward()``; the driver accumulates with
+``accumulate_grads`` and applies one optimiser update every
+``tasks_per_batch`` tasks, threading the updated BatchNorm running stats
+back into the variables when meta-training the extractor.
 
 LITE gradient structure (exact reference parity, SURVEY.md §7 hard part 4):
 per target batch, loss = ``len(context)/(num_lite_samples*tasks_per_batch) *
@@ -74,7 +77,8 @@ def build_train_task(recogniser: SingleStepFewShotRecogniser, args,
     """Jitted non-LITE meta-training step: personalise on context, predict
     target, CE/tasks_per_batch + film L2 (single-step-learner.py:196-210).
 
-    Returns fn(variables, episode, rng) -> (grads, loss, target_logits).
+    Returns fn(variables, episode, rng) ->
+    (grads, loss, target_logits, new_bn_stats_or_None).
     """
     tasks_per_batch = args.tasks_per_batch
     train_bn = args.learn_extractor  # _set_batch_norm_state semantics
