@@ -72,6 +72,13 @@ class OpsCounter:
             self._flops_cache[cache_key] = flops_of(fn, *args, **kwargs)
         self.add_macs(self._flops_cache[cache_key] / 2.0)
 
+    def check_for_uncounted_modules(self, _model=None) -> str:
+        """API parity with the reference's thop leaf-module audit
+        (ops_counter.py:56-69). Compiled-program cost analysis counts every
+        op in the executable, so nothing can go uncounted."""
+        return ("ops counter: FLOPs read from compiled XLA programs "
+                "(cost_analysis) — all operations counted.")
+
     def get_task_macs(self) -> float:
         return self.task_mac_counter
 
