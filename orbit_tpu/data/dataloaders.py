@@ -1,12 +1,37 @@
 """Facade that turns a ``dataset_info`` dict into train/validation/test queues.
 
 Reference equivalent: data/dataloaders.py:8-93 (same dataset_info keys).
+
+Host-parallel loading (SURVEY.md §2.9 item 3): ``num_shards``/``shard_index``
+in ``dataset_info`` (or derived from the JAX process grid via
+``resolve_host_sharding``) give every host a disjoint strided slice of each
+queue's task stream, so a multi-host pod decodes frames in parallel.
 """
 from __future__ import annotations
 
 import os
 
 from orbit_tpu.data.queues import ObjectEpisodicDatasetQueue, UserEpisodicDatasetQueue
+
+
+def resolve_host_sharding(args) -> tuple:
+    """(num_shards, shard_index) for this host.
+
+    ``--num_hosts 0`` / ``--host_index -1`` (the defaults) derive the values
+    from the JAX process grid — 1/0 on a single-host run, the pod layout on a
+    multi-host one.
+    """
+    num = int(getattr(args, "num_hosts", 0) or 0)
+    idx = int(getattr(args, "host_index", -1))
+    if num <= 0 or idx < 0:
+        import jax
+        if num <= 0:
+            num = jax.process_count()
+        if idx < 0:
+            idx = jax.process_index()
+    if idx >= num:
+        raise ValueError(f"host_index {idx} out of range for num_hosts {num}")
+    return num, idx
 
 
 class DataLoader:
@@ -18,6 +43,8 @@ class DataLoader:
         mode = dataset_info["mode"]
         num_threads = dataset_info.get("num_data_threads", 4)
         seed = dataset_info.get("seed")
+        num_shards = dataset_info.get("num_shards", 1)
+        shard_index = dataset_info.get("shard_index", 0)
 
         def common(queue_cls, root, way, cap, shot_methods, clip_methods, num_tasks,
                    filters, test_mode, with_caps=False, shuffle=False):
@@ -43,6 +70,8 @@ class DataLoader:
                 num_threads=num_threads,
                 seed=seed,
                 logfile=dataset_info.get("logfile"),
+                num_shards=num_shards,
+                shard_index=shard_index,
             )
 
         if "train" in mode:

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from orbit_tpu.data.dataloaders import DataLoader
+from orbit_tpu.data.dataloaders import DataLoader, resolve_host_sharding
 from orbit_tpu.data.episodes import pad_episode
 from orbit_tpu.data.transforms import attach_frame_history
 from orbit_tpu.models import heads as heads_lib
@@ -194,6 +194,8 @@ class MultiStepLearner:
             "seed": args.seed,
             "logfile": self.logfile,
         }
+        dataset_info["num_shards"], dataset_info["shard_index"] = \
+            resolve_host_sharding(args)
         self.test_queue = DataLoader(dataset_info).get_test_queue()
         cache = getattr(args, "frame_cache", 0)
         if cache:
@@ -254,8 +256,12 @@ class MultiStepLearner:
             # the tunnel)
             np.asarray(jax.tree_util.tree_leaves(task_params["head"])[0])
             evaluator.log_time(time.time() - t1, "personalise")
+            # charge the REAL clip count, not the padded bucket (the MACs
+            # metric is protocol-exact; reference ops_counter.py:79-85)
             evaluator.ops_counter.compute_macs("personalise_ft", self.personalise_fn,
-                                               self.variables, *ctx)
+                                               self.variables, *ctx,
+                                               row_argnums=(1, 2, 3),
+                                               n_valid=int(ep.context_mask.sum()))
 
             num_target_clips = 0
             for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from orbit_tpu.data.dataloaders import DataLoader
+from orbit_tpu.data.dataloaders import DataLoader, resolve_host_sharding
 from orbit_tpu.data.episodes import pad_episode
 from orbit_tpu.data.transforms import attach_frame_history
 from orbit_tpu.learners import steps as steps_lib
@@ -130,6 +130,10 @@ class SingleStepLearner:
             "seed": args.seed,
             "logfile": self.logfile,
         }
+        # host-parallel loading: each host consumes a disjoint strided slice
+        # of every queue's task stream (SURVEY §2.9 item 3)
+        dataset_info["num_shards"], dataset_info["shard_index"] = \
+            resolve_host_sharding(args)
         dataloader = DataLoader(dataset_info)
         self.train_queue = dataloader.get_train_queue()
         self.validation_queue = dataloader.get_validation_queue()
@@ -356,8 +360,12 @@ class SingleStepLearner:
                 np.asarray(jax.tree_util.tree_leaves(task_state["head"])[0])
                 evaluator.log_time(time.time() - t1, "personalise")
             if ops_counter is not None:
+                # charge the REAL clip count, not the padded bucket (the MACs
+                # metric is protocol-exact; reference ops_counter.py:79-85)
                 ops_counter.compute_macs("personalise", self.personalise_fn,
-                                         self.variables, *ctx)
+                                         self.variables, *ctx,
+                                         row_argnums=(1, 2, 3),
+                                         n_valid=int(ep.context_mask.sum()))
 
             num_target_clips = 0
             class_mask = jnp.asarray(ep.class_mask)

@@ -87,9 +87,9 @@ def build_train_task(recogniser: SingleStepFewShotRecogniser, args,
         variables = {"params": _freeze_extractor(params, args.learn_extractor), **rest}
         # when meta-training the extractor, BN running stats update through
         # the context then target passes, mirroring the reference's
-        # extractor.train() forwards (few_shot_recognisers.py:176-183); the
-        # padded rows contribute to batch stats (an approximation inherent to
-        # fixed-shape episodes — the masks only guard losses/means)
+        # extractor.train() forwards (few_shot_recognisers.py:176-183);
+        # padded rows are excluded from BN batch statistics via the clip
+        # masks (models/backbones/masked_bn.py)
         task_state = recogniser.personalise(
             variables, episode["context_clips"], episode["context_labels"],
             episode["context_mask"], episode["class_mask"].shape[0],
@@ -101,10 +101,15 @@ def build_train_task(recogniser: SingleStepFewShotRecogniser, args,
         pred = recogniser.predict(
             variables, task_state, episode["target_clips"],
             class_mask=episode["class_mask"], train=train_bn, with_grad=True,
-            collect_stats=train_bn)
+            collect_stats=train_bn, clip_mask=episode["target_mask"])
         logits, new_stats = pred if train_bn else (pred, None)
         ce = cross_entropy(logits, episode["target_labels"], episode["target_mask"])
-        loss = ce / tasks_per_batch + FILM_REG_WEIGHT * task_state["film_l2"]
+        # an all-padding episode (target_mask all zero — used by episode-DP to
+        # fill the last device group) must contribute EXACTLY zero loss and
+        # gradient, including the film regulariser
+        is_real = (episode["target_mask"].sum() > 0).astype(jnp.float32)
+        loss = is_real * (ce / tasks_per_batch
+                          + FILM_REG_WEIGHT * task_state["film_l2"])
         return loss, (logits, new_stats)
 
     def train_task(variables, episode, rng):
@@ -162,13 +167,15 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
 
         # context features: no-grad cache + grad-subset recompute
         grad_feats = recogniser.embed_clips(
-            variables, ctx[grad_idxs], film_values, train=train_bn, with_grad=True)
+            variables, ctx[grad_idxs], film_values, train=train_bn, with_grad=True,
+            clip_mask=ctx_mask[grad_idxs])
         feats = caches["feats"].at[grad_idxs].set(grad_feats)
         head = recogniser.configure_head(
             variables, feats, episode["context_labels"], ctx_mask, num_classes)
 
         tgt_feats = recogniser.embed_clips(
-            variables, tgt_clips, film_values, train=train_bn, with_grad=True)
+            variables, tgt_clips, film_values, train=train_bn, with_grad=True,
+            clip_mask=tgt_mask)
         logits = recogniser.head_logits(head, tgt_feats, episode["class_mask"])
 
         n_ctx = ctx_mask.astype(jnp.float32).sum()
@@ -202,12 +209,14 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
         if train_bn:
             feats_cache, new_stats = recogniser.embed_clips(
                 nograd_vars, episode["context_clips"], cache_film,
-                train=True, with_grad=False, collect_stats=True)
+                train=True, with_grad=False, collect_stats=True,
+                clip_mask=episode["context_mask"])
             caches["feats"] = jax.lax.stop_gradient(feats_cache)
         else:
             caches["feats"] = jax.lax.stop_gradient(recogniser.embed_clips(
                 nograd_vars, episode["context_clips"], cache_film,
-                train=train_bn, with_grad=False))
+                train=train_bn, with_grad=False,
+                clip_mask=episode["context_mask"]))
 
         # ---- scan over target batches, carrying accumulated grads ----
         m = episode["target_clips"].shape[0]

@@ -34,16 +34,18 @@ from typing import Any, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from orbit_tpu.models.backbones.masked_bn import MaskedBatchNorm
+
 Dtype = Any
 BN_EPS_TF = 1e-3
 BN_MOMENTUM = 0.9  # timm default decay 0.1 -> flax momentum 0.9
 
 
 def _bn(eps: float, dtype, name: str):
-    return nn.BatchNorm(
-        use_running_average=None, momentum=BN_MOMENTUM, epsilon=eps,
-        dtype=dtype, name=name,
-    )
+    # row-mask-aware BN: padded episode rows are excluded from batch
+    # statistics during learn_extractor meta-training (masked_bn.py)
+    return MaskedBatchNorm(momentum=BN_MOMENTUM, epsilon=eps, dtype=dtype,
+                           name=name)
 
 
 class SqueezeExcite(nn.Module):
@@ -69,11 +71,11 @@ class ConvBnAct(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         shortcut = x
         x = nn.Conv(self.out_chs, (self.kernel, self.kernel), strides=self.stride,
                     padding="SAME", use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train, mask=mask)
         x = nn.silu(x)
         if self.stride == 1 and shortcut.shape[-1] == self.out_chs:
             x = x + shortcut
@@ -89,18 +91,18 @@ class DepthwiseSeparable(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         shortcut = x
         in_chs = x.shape[-1]
         x = nn.Conv(in_chs, (self.kernel, self.kernel), strides=self.stride,
                     padding="SAME", feature_group_count=in_chs, use_bias=False,
                     dtype=self.dtype, name="conv_dw")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train, mask=mask)
         x = nn.silu(x)
         if self.se_ratio > 0:
             x = SqueezeExcite(max(1, int(in_chs * self.se_ratio)), dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train, mask=mask)
         if self.stride == 1 and in_chs == self.out_chs:
             x = x + shortcut
         return x
@@ -115,16 +117,16 @@ class EdgeResidual(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         shortcut = x
         in_chs = x.shape[-1]
         mid = int(in_chs * self.exp_ratio)
         x = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
                     padding="SAME", use_bias=False, dtype=self.dtype, name="conv_exp")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train, mask=mask)
         x = nn.silu(x)
         x = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pwl")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train, mask=mask)
         if self.stride == 1 and in_chs == self.out_chs:
             x = x + shortcut
         return x
@@ -140,22 +142,22 @@ class InvertedResidual(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         shortcut = x
         in_chs = x.shape[-1]
         mid = int(in_chs * self.exp_ratio)
         x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train, mask=mask)
         x = nn.silu(x)
         x = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
                     padding="SAME", feature_group_count=mid, use_bias=False,
                     dtype=self.dtype, name="conv_dw")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train, mask=mask)
         x = nn.silu(x)
         if self.se_ratio > 0:
             x = SqueezeExcite(max(1, int(in_chs * self.se_ratio)), dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pwl")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn3")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn3")(x, use_running_average=not train, mask=mask)
         if self.stride == 1 and in_chs == self.out_chs:
             x = x + shortcut
         return x
@@ -202,10 +204,10 @@ class EfficientNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         x = nn.Conv(self.stem_chs, (3, 3), strides=2, padding="SAME", use_bias=False,
                     dtype=self.dtype, name="conv_stem")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train, mask=mask)
         x = nn.silu(x)
 
         for si, (btype, repeats, k, stride, exp, out_chs, se) in enumerate(self.arch):
@@ -213,10 +215,10 @@ class EfficientNet(nn.Module):
                 s = stride if bi == 0 else 1
                 block = _make_block(btype, k, s, exp, out_chs, se, self.bn_eps,
                                     self.dtype, f"blocks_{si}_{bi}")
-                x = block(x, train=train)
+                x = block(x, train=train, mask=mask)
 
         x = nn.Conv(self.head_chs, (1, 1), use_bias=False, dtype=self.dtype, name="conv_head")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train)
+        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train, mask=mask)
         x = nn.silu(x)
         return x.mean(axis=(1, 2)).astype(jnp.float32)  # (N, head_chs)
 

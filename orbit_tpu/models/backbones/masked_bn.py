@@ -1,0 +1,90 @@
+"""BatchNorm with row-masked batch statistics for fixed-shape padded episodes.
+
+Fixed-shape episodes (orbit_tpu.data.episodes) carry zero-padded rows; during
+meta-training with ``learn_extractor`` the extractor's BatchNorm runs on batch
+statistics (reference: _set_batch_norm_state,
+model/few_shot_recognisers.py:176-183), and unmasked statistics would be
+biased toward zero on sparsely-filled buckets. ``MaskedBatchNorm`` computes
+the batch mean/variance as *weighted* moments over the row (frame) mask, so a
+20-real-row episode padded to a 256 bucket yields exactly the statistics of
+an unpadded 20-row batch (tests/test_masked_bn.py).
+
+Variable structure is identical to ``flax.linen.BatchNorm`` (params
+``scale``/``bias``; batch_stats ``mean``/``var``), so checkpoints and the
+torch weight converter are unaffected.
+
+Running-stat updates follow torch semantics (the reference's timm backbones):
+the running variance blends the UNBIASED batch variance while normalisation
+uses the biased one, and a chunk with zero valid rows (an all-padding scan
+chunk) leaves the running stats untouched.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """Drop-in BatchNorm over the last axis with an optional per-row weight.
+
+    ``mask`` is a float (N,) validity mask over the leading (batch) axis; all
+    other axes are reduced as usual. ``mask=None`` or eval mode reproduce
+    ``nn.BatchNorm`` exactly (up to the torch-style unbiased running-var
+    update).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool,
+                 mask: Optional[jnp.ndarray] = None):
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            # elements per row = product of the spatial axes
+            row_elems = float(np_prod(x.shape[1:-1]))
+            if mask is None:
+                count = jnp.float32(x.shape[0] * row_elems)
+                mean = xf.mean(axis=reduce_axes)
+                var = jnp.maximum((xf * xf).mean(axis=reduce_axes) - mean * mean, 0.0)
+            else:
+                w = mask.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+                count = w.sum() * row_elems
+                safe = jnp.maximum(count, 1.0)
+                mean = (xf * w).sum(axis=reduce_axes) / safe
+                var = jnp.maximum(
+                    (xf * xf * w).sum(axis=reduce_axes) / safe - mean * mean, 0.0)
+            if not self.is_initializing():
+                # torch-style update: unbiased variance into the running stat
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                new_mean = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                new_var = self.momentum * ra_var.value + (1.0 - self.momentum) * unbiased
+                has_rows = count > 0
+                ra_mean.value = jnp.where(has_rows, new_mean, ra_mean.value)
+                ra_var.value = jnp.where(has_rows, new_var, ra_var.value)
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out

@@ -88,8 +88,10 @@ class ViT(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: (N, H, W, 3) normalised frames
+    def __call__(self, x, train: bool = False, mask=None):
+        # x: (N, H, W, 3) normalised frames; mask accepted for API parity
+        # with the BN backbones (LayerNorm is per-row — padding-immune)
+        del mask
         n = x.shape[0]
         x = nn.Conv(
             self.dim, (self.patch_size, self.patch_size),

@@ -107,7 +107,8 @@ class FewShotRecogniser:
 
     def embed_frames(self, variables, frames: jnp.ndarray,
                      film_values=None, train: bool = False,
-                     with_grad: bool = True, collect_stats: bool = False):
+                     with_grad: bool = True, collect_stats: bool = False,
+                     frame_mask: Optional[jnp.ndarray] = None):
         """(N, H, W, 3) -> (N, D) float32 frame features, chunked to bound
         activation memory (reference: _get_features_in_batches,
         few_shot_recognisers.py:124-153).
@@ -117,41 +118,60 @@ class FewShotRecogniser:
         chunk-to-chunk like torch's sequential batch updates (reference:
         _set_batch_norm_state puts the extractor in train() so every forward
         updates running stats). Returns (feats, new_stats) in that case.
+
+        ``frame_mask`` (train mode): per-frame validity weights — padded
+        episode rows (and chunk-padding rows) are excluded from BatchNorm
+        batch statistics (masked_bn.py), so padded and unpadded episodes see
+        identical statistics over the real rows.
         """
         ex_vars = self._extractor_vars(variables, film_values)
         n = frames.shape[0]
         b = min(self.batch_size, n)
         collect = collect_stats and train and "batch_stats" in ex_vars
+        mask = None
+        if train and frame_mask is not None:
+            mask = frame_mask.astype(jnp.float32)
 
-        def run(chunk):
-            out = self.extractor.apply(ex_vars, chunk, train=train,
+        def run(chunk, m=None):
+            out = self.extractor.apply(ex_vars, chunk, train=train, mask=m,
                                        **({"mutable": ["batch_stats"]} if train else {}))
             return out[0] if train else out
 
-        def run_stateful(stats, chunk):
+        def run_stateful(stats, chunk, m=None):
             out, mut = self.extractor.apply(
-                {**ex_vars, "batch_stats": stats}, chunk, train=True,
+                {**ex_vars, "batch_stats": stats}, chunk, train=True, mask=m,
                 mutable=["batch_stats"])
             return jax.lax.stop_gradient(mut["batch_stats"]), out
 
         new_stats = None
         if n <= b:
             if collect:
-                new_stats, feats = run_stateful(ex_vars["batch_stats"], frames)
+                new_stats, feats = run_stateful(ex_vars["batch_stats"], frames, mask)
             else:
-                feats = run(frames)
+                feats = run(frames, mask)
         else:
             n_pad = _round_up(n, b)
             padded = jnp.concatenate(
                 [frames, jnp.zeros((n_pad - n,) + frames.shape[1:], frames.dtype)])
             chunks = padded.reshape(n_pad // b, b, *frames.shape[1:])
+            if mask is not None:
+                # chunk-padding rows get weight 0 alongside the episode's own
+                # padded rows
+                mask_chunks = jnp.concatenate(
+                    [mask, jnp.zeros((n_pad - n,), mask.dtype)]).reshape(n_pad // b, b)
+                xs = (chunks, mask_chunks)
+                stateful = lambda stats, x: run_stateful(stats, x[0], x[1])
+                stateless = lambda x: run(x[0], x[1])
+            else:
+                xs = chunks
+                stateful, stateless = run_stateful, run
             if collect:
-                body = jax.checkpoint(run_stateful) if with_grad else run_stateful
-                new_stats, feats = jax.lax.scan(body, ex_vars["batch_stats"], chunks)
+                body = jax.checkpoint(stateful) if with_grad else stateful
+                new_stats, feats = jax.lax.scan(body, ex_vars["batch_stats"], xs)
                 feats = feats.reshape(n_pad, -1)[:n]
             else:
-                body = jax.checkpoint(run) if with_grad else run
-                feats = jax.lax.map(body, chunks).reshape(n_pad, -1)[:n]
+                body = jax.checkpoint(stateless) if with_grad else stateless
+                feats = jax.lax.map(body, xs).reshape(n_pad, -1)[:n]
         if not with_grad:
             feats = jax.lax.stop_gradient(feats)
         feats = feats.astype(jnp.float32)
@@ -161,13 +181,19 @@ class FewShotRecogniser:
 
     def embed_clips(self, variables, clips: jnp.ndarray, film_values=None,
                     train: bool = False, with_grad: bool = True,
-                    collect_stats: bool = False):
+                    collect_stats: bool = False,
+                    clip_mask: Optional[jnp.ndarray] = None):
         """(N, T, H, W, 3) -> (N, D): frame features mean-pooled per clip
-        (reference: _get_features + _pool_features)."""
+        (reference: _get_features + _pool_features). ``clip_mask`` expands to
+        a per-frame mask for BatchNorm statistics (train mode only)."""
         n, t = clips.shape[:2]
         frames = clips.reshape(n * t, *clips.shape[2:])
+        frame_mask = None
+        if clip_mask is not None:
+            frame_mask = jnp.repeat(clip_mask.astype(jnp.float32), t)
         out = self.embed_frames(variables, frames, film_values, train,
-                                with_grad, collect_stats=collect_stats)
+                                with_grad, collect_stats=collect_stats,
+                                frame_mask=frame_mask)
         if collect_stats:
             feats, new_stats = out
             return mean_pool_clips(feats, t), new_stats
@@ -259,10 +285,12 @@ class SingleStepFewShotRecogniser(FewShotRecogniser):
         if collect_stats:
             feats, new_stats = self.embed_clips(
                 variables, context_clips, film_values, train=train,
-                with_grad=with_grad, collect_stats=True)
+                with_grad=with_grad, collect_stats=True,
+                clip_mask=context_mask)
         else:
             feats = self.embed_clips(variables, context_clips, film_values,
-                                     train=train, with_grad=with_grad)
+                                     train=train, with_grad=with_grad,
+                                     clip_mask=context_mask)
         head = self.configure_head(variables, feats, context_labels,
                                    context_mask, num_classes)
         return {"film": film_values, "head": head, "film_l2": film_l2,
@@ -299,9 +327,11 @@ class SingleStepFewShotRecogniser(FewShotRecogniser):
             film_values, film_l2 = self.generate_film(variables, emb)
 
         feats = self.embed_clips(variables, context_clips, film_values,
-                                 train=train, with_grad=False)
+                                 train=train, with_grad=False,
+                                 clip_mask=context_mask)
         grad_feats = self.embed_clips(variables, context_clips[grad_idxs],
-                                      film_values, train=train, with_grad=True)
+                                      film_values, train=train, with_grad=True,
+                                      clip_mask=context_mask[grad_idxs])
         feats = feats.at[grad_idxs].set(grad_feats)
         head = self.configure_head(variables, feats, context_labels,
                                    context_mask, num_classes)
@@ -310,16 +340,18 @@ class SingleStepFewShotRecogniser(FewShotRecogniser):
 
     def predict(self, variables, task_state: TaskState, clips,
                 class_mask=None, train: bool = False,
-                with_grad: bool = False, collect_stats: bool = False):
+                with_grad: bool = False, collect_stats: bool = False,
+                clip_mask=None):
         """Logits for target clips under the personalised state
         (reference: predict / predict_a_batch, few_shot_recognisers.py:453-473)."""
         if collect_stats:
             feats, new_stats = self.embed_clips(
                 variables, clips, task_state["film"], train=train,
-                with_grad=with_grad, collect_stats=True)
+                with_grad=with_grad, collect_stats=True, clip_mask=clip_mask)
             return self.head_logits(task_state["head"], feats, class_mask), new_stats
         feats = self.embed_clips(variables, clips, task_state["film"],
-                                 train=train, with_grad=with_grad)
+                                 train=train, with_grad=with_grad,
+                                 clip_mask=clip_mask)
         return self.head_logits(task_state["head"], feats, class_mask)
 
 

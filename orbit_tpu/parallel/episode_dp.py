@@ -14,6 +14,7 @@ stacking (recompilation is bounded by the small bucket set).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -83,7 +84,7 @@ class EpisodeDataParallel:
             # pre-vary them so the scan carry types match (params must stay
             # replicated for the auto-psum'd cotangent)
             local_rest = jax.tree_util.tree_map(
-                lambda x: jax.lax.pvary(x, ("dp",)), rest)
+                lambda x: jax.lax.pcast(x, ("dp",), to="varying"), rest)
 
             def per_task(episode, rng):
                 return task_fn({"params": params, **local_rest}, episode, rng)
@@ -126,19 +127,32 @@ class EpisodeDataParallel:
         mesh-summed gradients until ``tasks_per_batch`` tasks are consumed,
         then apply one optimiser update — the reference's effective task
         batch (single-step-learner.py:162-166), parallelised over chips.
-        Leftover tasks (< dp) still contribute via a final padded group with
-        repeated episodes masked out by zero-weighting (simply dropped here;
-        the task order is shuffled each epoch so no systematic bias).
+
+        Every task trains, exactly as in the reference's serial loop
+        (single-step-learner.py:149-166): a final group of < dp leftover
+        tasks is filled with *dummy* episodes — copies of real episodes from
+        this epoch with ``target_mask`` zeroed — whose loss and gradient are
+        exactly zero (steps.py gates the whole loss, film term included, on
+        ``target_mask.sum() > 0``), so the mesh-summed gradient equals the
+        serial sum over the real tasks (tests/test_parallel.py). Dummy BN
+        forward stats are those of a duplicated real episode, a bounded
+        approximation affecting running stats only, never gradients.
         """
         from orbit_tpu.data.episodes import pad_episode
 
         losses: List[float] = []
         dp = self.dp
         groups_per_update = max(1, self.args.tasks_per_batch // dp)
-        n_groups = len(tasks) // dp
+        n_groups = (len(tasks) + dp - 1) // dp
         grads_acc = None
         for g in range(n_groups):
-            group = [pad_episode(t) for t in tasks[g * dp:(g + 1) * dp]]
+            real = [pad_episode(t) for t in tasks[g * dp:(g + 1) * dp]]
+            n_real = len(real)
+            group = list(real)
+            while len(group) < dp:
+                donor = real[len(group) % n_real]
+                group.append(dataclasses.replace(
+                    donor, target_mask=np.zeros_like(donor.target_mask)))
             batch = stack_group(group)
             rngs = jnp.stack([next_rng() for _ in range(dp)])
             grads, group_losses, logits, new_stats = self.batch_grads(
@@ -147,10 +161,11 @@ class EpisodeDataParallel:
                 rest = {**rest, "batch_stats": {**rest["batch_stats"],
                                                 "extractor": new_stats}}
             grads_acc = grads if grads_acc is None else self._acc(grads_acc, grads)
-            losses.extend(float(l) for l in np.asarray(group_losses).reshape(-1))
+            losses.extend(
+                float(l) for l in np.asarray(group_losses).reshape(-1)[:n_real])
             if evaluator is not None:
                 logits = np.asarray(logits)
-                for i, ep in enumerate(group):
+                for i, ep in enumerate(group[:n_real]):
                     n_valid = int(ep.target_mask.sum())
                     evaluator.update_stats(
                         logits[i][:n_valid, :ep.way],

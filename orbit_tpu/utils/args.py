@@ -114,6 +114,13 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
                         help="Number of chips to shard episodes across (episode-data-parallel via shard_map).")
     parser.add_argument("--num_data_threads", type=int, default=4,
                         help="Host threads for JPEG decode in the data loader.")
+    parser.add_argument("--num_hosts", type=int, default=0,
+                        help="Host-parallel data loading (SURVEY §2.9 item 3): "
+                             "total hosts sharding the task stream. 0 = derive "
+                             "from the JAX process grid (jax.process_count()).")
+    parser.add_argument("--host_index", type=int, default=-1,
+                        help="This host's shard of the task stream. "
+                             "-1 = derive from jax.process_index().")
     parser.add_argument("--pretrained_extractor_path", type=str, default=None,
                         help="Converted pretrained backbone weights (orbit_tpu.models.convert). "
                              "The reference downloads timm/CLIP checkpoints at construction.")

@@ -62,7 +62,7 @@ class OpsCounter:
     def add_params(self, params) -> None:
         self.task_params_counter += int(params)
 
-    def compute_macs(self, key: str, fn: Callable, *args, **kwargs) -> None:
+    def _flops_for(self, key: str, fn: Callable, args, kwargs) -> float:
         shapes = tuple(
             (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))))
             for a in jax.tree_util.tree_leaves((args, kwargs))
@@ -70,7 +70,46 @@ class OpsCounter:
         cache_key = (key, shapes)
         if cache_key not in self._flops_cache:
             self._flops_cache[cache_key] = flops_of(fn, *args, **kwargs)
-        self.add_macs(self._flops_cache[cache_key] / 2.0)
+        return self._flops_cache[cache_key]
+
+    def compute_macs(self, key: str, fn: Callable, *args,
+                     row_argnums: Optional[Tuple[int, ...]] = None,
+                     n_valid: Optional[int] = None, row_axis: int = 0,
+                     **kwargs) -> None:
+        """Charge the MACs of ``fn(*args)``.
+
+        With ``row_argnums``/``n_valid``, charge the *protocol-exact* MACs of
+        the task's REAL row count instead of the padded bucket's: program
+        FLOPs are affine in the padded row dimension (every HLO op's FLOPs is
+        linear in it, row-independent ops form the intercept), so analysing
+        the program at the padded size N and once more at N//2 (abstract
+        shapes only — no data, no execution) pins slope and intercept, and
+        the task is charged ``intercept + slope * n_valid``. This matches the
+        reference's actual-shape thop profiling (reference
+        utils/ops_counter.py:79-85) while keeping one compiled program per
+        bucket.
+        """
+        flops = self._flops_for(key, fn, args, kwargs)
+        if row_argnums is None or n_valid is None:
+            self.add_macs(flops / 2.0)
+            return
+        n_padded = args[row_argnums[0]].shape[row_axis]
+        if n_valid >= n_padded:
+            self.add_macs(flops / 2.0)
+            return
+
+        def abstract(a, shrink: bool):
+            def leaf(x):
+                shape = list(x.shape)
+                if shrink:
+                    shape[row_axis] = max(n_padded // 2, 1)
+                return jax.ShapeDtypeStruct(tuple(shape), x.dtype)
+            return jax.tree_util.tree_map(leaf, a)
+
+        half = tuple(abstract(a, i in row_argnums) for i, a in enumerate(args))
+        flops_half = self._flops_for(key, fn, half, kwargs)
+        slope = (flops - flops_half) / float(n_padded - max(n_padded // 2, 1))
+        self.add_macs((flops - slope * (n_padded - n_valid)) / 2.0)
 
     def check_for_uncounted_modules(self, _model=None) -> str:
         """API parity with the reference's thop leaf-module audit

@@ -55,6 +55,11 @@ def make_lr_schedule(args) -> Callable[[int], float]:
     decay_rate = getattr(args, "decay_rate", 0.5)
     epochs = getattr(args, "epochs", 30)
     sched = getattr(args, "sched", "multistep")
+    k_decay = getattr(args, "lr_k_decay", 1.0)
+    # cooldown_epochs (timm create_scheduler) only extends the min-lr tail
+    # PAST the single cosine cycle; the reference's training loop runs exactly
+    # args.epochs epochs (single-step-learner.py:143), so within training it
+    # is observable only through the t >= T branch below.
 
     if sched == "multistep":
         if decay_epochs >= epochs:
@@ -74,9 +79,18 @@ def make_lr_schedule(args) -> Callable[[int], float]:
         if sched == "step":
             return base_lr * (decay_rate ** (epoch // decay_epochs))
         if sched == "cosine":
-            t = epoch - warmup_t          # warmup_prefix=True (optim.py:40-41)
-            T = max(epochs - warmup_t, 1)
-            return min_lr + 0.5 * (base_lr - min_lr) * (1 + math.cos(math.pi * min(t, T) / T))
+            # timm CosineLRScheduler with warmup_prefix=True (reference
+            # optim.py:40-43): t counts from the end of warmup, the cycle
+            # length stays t_initial=epochs, k_decay bends the curve
+            # (cos(pi * t^k / T^k), timm's k_decay), and epochs past the
+            # single cycle (cycle_limit=1) — including any cooldown_epochs —
+            # sit at min_lr.
+            t = epoch - warmup_t
+            T = max(epochs, 1)
+            if t >= T:
+                return min_lr
+            return min_lr + 0.5 * (base_lr - min_lr) * (
+                1 + math.cos(math.pi * (t ** k_decay) / (T ** k_decay)))
         raise ValueError(f"Unknown scheduler {sched}")
 
     return schedule

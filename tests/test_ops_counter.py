@@ -26,6 +26,71 @@ def test_ops_counter_caches_and_accumulates():
     assert c.get_task_macs() == 0
 
 
+def test_row_interpolated_macs_match_unpadded_program():
+    """Padded-episode MACs must equal the MACs of an UNPADDED program lowered
+    at the real clip count (the challenge metric is protocol-exact; reference
+    ops_counter.py:79-85). FLOPs are affine in the row dim, so the two-point
+    interpolation must land exactly on the unpadded analysis."""
+    w = jnp.zeros((48, 64), jnp.float32)
+
+    def fn(w, x, labels, mask):
+        feats = jnp.tanh(x @ w)                    # per-row work
+        proto = (feats * mask[:, None]).sum(0)     # per-row work
+        return proto @ w.T @ w                     # row-independent intercept
+
+    n_real, n_pad = 11, 32
+    x_pad = jnp.zeros((n_pad, 48), jnp.float32)
+    labels_pad = jnp.zeros((n_pad,), jnp.int32)
+    mask_pad = jnp.zeros((n_pad,), jnp.float32)
+
+    c = OpsCounter()
+    c.compute_macs("fn", fn, w, x_pad, labels_pad, mask_pad,
+                   row_argnums=(1, 2, 3), n_valid=n_real)
+    interpolated = c.get_task_macs()
+
+    x = jnp.zeros((n_real, 48), jnp.float32)
+    exact = flops_of(fn, w, x, jnp.zeros((n_real,), jnp.int32),
+                     jnp.zeros((n_real,), jnp.float32)) / 2.0
+    assert interpolated > 0
+    np.testing.assert_allclose(interpolated, exact, rtol=0.02)
+
+    # padded MACs without interpolation are strictly larger
+    c2 = OpsCounter()
+    c2.compute_macs("fn", fn, w, x_pad, labels_pad, mask_pad)
+    assert c2.get_task_macs() > interpolated
+
+
+def test_row_interpolation_on_recogniser_personalise():
+    """End-to-end: the personalise program's interpolated MACs at the real
+    clip count match lowering the same program unpadded."""
+    import jax
+
+    from orbit_tpu.learners.steps import build_eval_fns
+    from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", adapt_features=False,
+        classifier="proto", batch_size=8, learn_extractor=False)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=32)
+    personalise, _ = build_eval_fns(rec)
+
+    n_real, n_pad, way = 10, 16, 3
+
+    def ep(n):
+        return (jnp.zeros((n, 1, 32, 32, 3), jnp.float32),
+                jnp.zeros((n,), jnp.int32),
+                jnp.ones((n,), jnp.float32),
+                (jnp.arange(16) < way).astype(jnp.float32))
+
+    c = OpsCounter()
+    c.compute_macs("personalise", personalise, variables, *ep(n_pad),
+                   row_argnums=(1, 2, 3), n_valid=n_real)
+    interpolated = c.get_task_macs()
+    exact = flops_of(personalise, variables, *ep(n_real)) / 2.0
+    assert interpolated > 0
+    np.testing.assert_allclose(interpolated, exact, rtol=0.02)
+
+
 def test_backward_multiplier_and_params():
     c = OpsCounter(count_backward=True)
     c.add_macs(10)

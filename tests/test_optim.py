@@ -31,12 +31,37 @@ def test_multistep_schedule():
 
 
 def test_warmup_then_cosine():
+    """timm CosineLRScheduler, warmup_prefix=True: the cycle length stays
+    t_initial=epochs and t counts from the end of warmup (reference
+    optim.py:40-43), so the curve has NOT completed at epoch==epochs."""
     s = make_lr_schedule(sched_args(sched="cosine", warmup_epochs=2,
                                     warmup_lr=1e-6, epochs=6, min_lr=0.0))
     assert s(0) == pytest.approx(1e-6)
     assert s(1) == pytest.approx(1e-6 + (1e-2 - 1e-6) / 2)
-    assert s(2) == pytest.approx(1e-2)                    # cosine start
-    assert s(6) == pytest.approx(0.0, abs=1e-9)           # cosine end
+    assert s(2) == pytest.approx(1e-2)                    # cosine start (t=0)
+    # t=4 of a 6-epoch cycle: 0.5*base*(1+cos(2pi/3))
+    assert s(6) == pytest.approx(0.5e-2 * (1 + np.cos(2 * np.pi / 3)))
+    assert s(8) == pytest.approx(0.0, abs=1e-12)          # cycle done -> min_lr
+    assert s(11) == pytest.approx(0.0, abs=1e-12)         # cooldown region
+
+
+def test_cosine_k_decay_and_cooldown():
+    """lr_k_decay bends the cosine (timm k_decay: cos(pi*t^k/T^k)); the
+    reference defaults it to 0.1 (reference args.py:154-155). Epochs past the
+    cycle (cooldown_epochs) sit at min_lr."""
+    base = sched_args(sched="cosine", epochs=8, min_lr=1e-6)
+    s1 = make_lr_schedule(base)
+    sk = make_lr_schedule(sched_args(sched="cosine", epochs=8, min_lr=1e-6,
+                                     lr_k_decay=0.1, cooldown_epochs=3))
+    t, T, k = 2, 8, 0.1
+    expect = 1e-6 + 0.5 * (1e-2 - 1e-6) * (1 + np.cos(np.pi * t**k / T**k))
+    assert sk(2) == pytest.approx(expect)
+    # k<1 front-loads the decay
+    assert sk(2) < s1(2)
+    # monotone non-increasing over the cycle
+    vals = [sk(e) for e in range(0, 9)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert sk(8) == pytest.approx(1e-6) and sk(10) == pytest.approx(1e-6)
 
 
 def test_step_schedule():

@@ -74,6 +74,86 @@ def test_dp_grads_match_serial_sum(tiny_model):
     assert np.asarray(dp_losses).shape == (2,)
 
 
+def test_dummy_episode_contributes_exactly_zero_grad(tiny_model):
+    """A leftover-group dummy (real context, target_mask all zero) must add
+    exactly nothing to the mesh-summed gradient — film regulariser included —
+    so padded final groups reproduce the reference's every-task serial loop
+    (single-step-learner.py:149-166)."""
+    from orbit_tpu.learners import steps as steps_lib
+    from orbit_tpu.parallel import EpisodeDataParallel, make_mesh
+    from orbit_tpu.utils.optim import init_optimizer
+
+    rec, variables = tiny_model
+    args = tiny_args()
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    tx, _ = init_optimizer(params, args)
+
+    rng = np.random.default_rng(3)
+    real = synthetic_episode(rng)
+    dummy = dict(real, target_mask=np.zeros_like(real["target_mask"]))
+    batch = {k: np.stack([real[k], dummy[k]]) for k in real}
+    rngs = jax.random.split(jax.random.PRNGKey(11), 2)
+
+    edp = EpisodeDataParallel(rec, args, tx, mesh=make_mesh(2))
+    dp_grads, dp_losses, _, _ = edp.batch_grads(params, rest, batch, rngs)
+    assert float(np.asarray(dp_losses)[1]) == 0.0
+
+    task_fn = steps_lib.build_train_task(rec, args)
+    solo, _, _, _ = task_fn(variables, {k: jnp.asarray(v) for k, v in real.items()},
+                            rngs[0])
+    for a, b in zip(jax.tree_util.tree_leaves(dp_grads),
+                    jax.tree_util.tree_leaves(solo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_train_epoch_trains_leftover_tasks(tiny_model):
+    """An odd task count on an even mesh: every task must train. 3 tasks on a
+    2-device mesh (tasks_per_batch=4 -> one optimiser update) must yield the
+    same final params as the 3-task serial accumulate-then-update."""
+    import optax
+    from orbit_tpu.learners import steps as steps_lib
+    from orbit_tpu.parallel import EpisodeDataParallel, make_mesh
+    from orbit_tpu.utils.optim import init_optimizer
+
+    rec, variables = tiny_model
+    # frozen extractor: no BN-stat threading between groups, so the serial
+    # twin below sees identical variables for every task
+    args = tiny_args(tasks_per_batch=4, learn_extractor=False)
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    tx, opt_state = init_optimizer(params, args)
+    edp = EpisodeDataParallel(rec, args, tx, mesh=make_mesh(2))
+
+    rng = np.random.default_rng(5)
+    tasks = [synthetic_episode(rng) for _ in range(3)]
+
+    rng_state = {"key": jax.random.PRNGKey(3)}
+
+    def next_rng():
+        rng_state["key"], sub = jax.random.split(rng_state["key"])
+        return sub
+
+    new_params, _, _, losses = edp.train_epoch(
+        params, rest, opt_state, list(tasks), next_rng)
+    assert len(losses) == 3 and np.isfinite(losses).all()
+
+    task_fn = steps_lib.build_train_task(rec, args)
+    serial = None
+    for ep in tasks:
+        g, _, _, _ = task_fn(variables, {k: jnp.asarray(v) for k, v in ep.items()},
+                             jax.random.PRNGKey(0))
+        serial = g if serial is None else jax.tree_util.tree_map(jnp.add, serial, g)
+    updates, _ = tx.update(serial, opt_state, params)
+    expect = optax.apply_updates(params, updates)
+
+    for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dp_train_epoch_updates_params(tiny_model, orbit_fixture_tree, tmp_path):
     """train_epoch over real fixture tasks: params move, losses finite."""
     import os

@@ -54,6 +54,54 @@ def test_learner_eval_uses_sharded_predict(orbit_fixture_tree, tmp_path_factory)
         assert set(json.load(f)) == {"P001", "P002"}
 
 
+def test_host_sharding_through_dataloader_facade(orbit_fixture_tree):
+    """--num_hosts/--host_index reach the queues via the DataLoader facade:
+    two hosts with the same seed get disjoint, deterministic task streams
+    whose interleave is the single-host stream (SURVEY §2.9 item 3)."""
+    import os
+    from types import SimpleNamespace
+
+    from orbit_tpu.data.dataloaders import DataLoader, resolve_host_sharding
+
+    data_root = os.path.dirname(os.path.realpath(orbit_fixture_tree))
+
+    def info(num_shards, shard_index):
+        base = dict(
+            mode="test", data_path=data_root, test_set="test",
+            train_object_cap=15, test_object_cap=15,
+            with_train_shot_caps=False, with_cluster_labels=False,
+            train_way_method="max", test_way_method="max",
+            train_shot_methods=("max", "max"), test_shot_methods=("max", "max"),
+            shots=(2, 1), video_types=("clean", "clutter"),
+            train_clip_methods=("uniform", "random"),
+            test_clip_methods=("uniform", "random_200"),
+            clip_length=1, num_train_tasks=2, num_val_tasks=1, num_test_tasks=2,
+            subsample_factor=4, frame_size=32, frame_norm_method="imagenet",
+            annotations_to_load=[], train_filter_by_annotations=(None, None),
+            test_filter_by_annotations=(None, None),
+            train_task_type="user_centric", num_data_threads=1, seed=7,
+            num_shards=num_shards, shard_index=shard_index,
+        )
+        return base
+
+    def ids(num_shards, shard_index):
+        q = DataLoader(info(num_shards, shard_index)).get_test_queue()
+        q.prefetch = 0
+        return [t["task_id"] for t in q.get_tasks()]
+
+    all_ids = ids(1, 0)
+    assert ids(2, 0) == all_ids[0::2]
+    assert ids(2, 1) == all_ids[1::2]
+
+    # default flags derive from the (single-process) JAX grid
+    ns, si = resolve_host_sharding(SimpleNamespace(num_hosts=0, host_index=-1))
+    assert (ns, si) == (1, 0)
+    assert resolve_host_sharding(
+        SimpleNamespace(num_hosts=4, host_index=3)) == (4, 3)
+    with pytest.raises(ValueError):
+        resolve_host_sharding(SimpleNamespace(num_hosts=2, host_index=2))
+
+
 def test_host_sharded_task_stream(orbit_fixture_tree):
     from orbit_tpu.data.queues import UserEpisodicDatasetQueue
 
