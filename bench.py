@@ -1,35 +1,42 @@
 #!/usr/bin/env python
-"""Headline benchmark: CLU-VE query-frame throughput on the flagship model.
+"""Headline benchmark: CLU-VE query-frame throughput, all five backbones.
 
-Measures frames/sec of the personalised predict path (ProtoNets +
-EfficientNet-B0, 224px, bfloat16 matmuls / float32 head) on the default JAX
-device, and compares against the same XLA program on the host CPU backend —
-the stand-in for the reference's PyTorch-CPU testing footprint
-(reference README.md:181 says testing fits on CPU; BASELINE.md north star:
->=10x PyTorch-CPU query-frame throughput per chip).
+Measures frames/sec of the personalised predict path (ProtoNets head,
+224px, bfloat16 matmuls / float32 head) on the default JAX device for every
+backbone the framework ships (reference testing footprint:
+/root/reference/README.md:181), and compares the flagship EfficientNet-B0
+against REAL PyTorch-CPU inference (the reference's supported test platform;
+BASELINE.md north star: >=10x PyTorch-CPU query-frame throughput per chip).
+The PyTorch baseline runs the independent hand-rolled torch B0 forward from
+tests/test_torch_parity.py — the same network the parity suite validates.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <device frames/sec>, "unit": "frames/sec",
-   "vs_baseline": <device fps / host-CPU fps>}
+  {"metric": ..., "value": <B0 device frames/sec>, "unit": "frames/sec",
+   "vs_baseline": <B0 fps / PyTorch-CPU B0 fps>, "extra": {per-backbone fps
+   and achieved TFLOP/s (from XLA cost analysis), pytorch baseline}}
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+BACKBONES = ("efficientnet_b0", "efficientnet_v2_s", "vit_s_32", "vit_b_32",
+             "vit_b_32_clip")
 
-def build():
+
+def build(name: str, batch: int):
     import jax
     import jax.numpy as jnp
 
     from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
 
     recogniser = SingleStepFewShotRecogniser(
-        feature_extractor_name="efficientnet_b0",
+        feature_extractor_name=name,
         adapt_features=False, classifier="proto", clip_length=1,
-        batch_size=256, dtype=jnp.bfloat16)
+        batch_size=batch, dtype=jnp.bfloat16)
     variables = recogniser.init(jax.random.PRNGKey(0), frame_size=224)
 
     def predict(variables, head, clips, class_mask):
@@ -50,13 +57,16 @@ def build():
 
 
 def measure_fps(device, predict, variables, head, class_mask, clips,
-                iters: int, warmup: int = 2) -> float:
+                iters: int, warmup: int = 2):
     """Two-point throughput measurement.
 
     On the tunneled TPU, ``block_until_ready`` does not synchronise and a
     host readback costs a ~70 ms round trip, so: enqueue N iterations
     (serialised on-device), force one readback at the end, and difference two
     run lengths to cancel the constant dispatch+RTT overhead.
+
+    Returns (frames/sec, program_flops) — the latter from XLA cost analysis,
+    for achieved-TFLOP/s reporting.
     """
     import jax
 
@@ -74,42 +84,90 @@ def measure_fps(device, predict, variables, head, class_mask, clips,
         cm = jax.device_put(class_mask, device)
         c = jax.device_put(clips, device)
         fn = jax.jit(predict)
+        compiled = fn.lower(v, h, c, cm).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
         for _ in range(warmup):
             np.asarray(fn(v, h, c, cm)[0, 0])
         n1, n2 = max(1, iters // 5), iters
         dt = run(n2) - run(n1)
-    return clips.shape[0] * (n2 - n1) / max(dt, 1e-9)
+    fps = clips.shape[0] * (n2 - n1) / max(dt, 1e-9)
+    return fps, flops
+
+
+def torch_cpu_b0_fps(frames: int = 8, iters: int = 2) -> float:
+    """REAL PyTorch-CPU EfficientNet-B0 inference throughput — the
+    reference's test platform (README.md:181). Uses the independent torch
+    forward from tests/test_torch_parity.py."""
+    import importlib.util
+    import sys
+
+    import torch
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    if repo_root not in sys.path:  # tests.test_convert import inside the module
+        sys.path.insert(0, repo_root)
+    spec = importlib.util.spec_from_file_location(
+        "torch_parity", os.path.join(repo_root, "tests", "test_torch_parity.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sd = mod.fake_timm_efficientnet_b0()
+    x = torch.randn(frames, 3, 224, 224)
+    with torch.no_grad():
+        mod.torch_efficientnet_b0_forward(sd, x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            mod.torch_efficientnet_b0_forward(sd, x)
+        dt = time.perf_counter() - t0
+    return frames * iters / max(dt, 1e-9)
 
 
 def main():
     import jax
 
-    predict, variables, head, class_mask, rng = build()
     device = jax.devices()[0]
     on_accelerator = device.platform != "cpu"
+    extra = {}
+    b0_fps = 0.0
 
-    n_frames = 256 if on_accelerator else 64
-    clips = rng.standard_normal((n_frames, 1, 224, 224, 3)).astype(np.float32)
-    fps = measure_fps(device, predict, variables, head, class_mask, clips,
-                      iters=40 if on_accelerator else 3)
+    # Per-backbone dispatch batch, swept on the v5e (2026-08): B0 peaks at
+    # 128 (21.7k f/s / 18.1 TF/s; larger batches LOSE — 256: 20.8k, 512:
+    # 19.5k, 1024: 18.8k), the pure-MXU models at 512 (ViT-B/32 63.7 TF/s).
+    best_batch = {"efficientnet_b0": 128}
+    import ml_dtypes
 
-    # Host-CPU reference point (the reference's supported test footprint).
+    for name in (BACKBONES if on_accelerator else BACKBONES[:1]):
+        batch = best_batch.get(name, 512) if on_accelerator else 64
+        predict, variables, head, class_mask, rng = build(name, batch)
+        # pixels shipped host-side as bf16: half the transfer, and the
+        # backbone computes in bf16 anyway
+        clips = rng.standard_normal((batch, 1, 224, 224, 3)).astype(
+            ml_dtypes.bfloat16 if on_accelerator else np.float32)
+        fps, flops = measure_fps(device, predict, variables, head, class_mask,
+                                 clips, iters=40 if on_accelerator else 3)
+        extra[f"{name}_fps"] = round(fps, 1)
+        extra[f"{name}_tflops"] = round(fps / batch * flops / 1e12, 2)
+        if name == "efficientnet_b0":
+            b0_fps = fps
+
+    # REAL PyTorch-CPU reference point.
     vs_baseline = 1.0
     if on_accelerator:
         try:
-            cpu = jax.local_devices(backend="cpu")[0]
-            cpu_clips = clips[:32]
-            cpu_fps = measure_fps(cpu, predict, variables, head, class_mask,
-                                  cpu_clips, iters=2, warmup=1)
-            vs_baseline = fps / cpu_fps
+            cpu_fps = torch_cpu_b0_fps()
+            extra["pytorch_cpu_efficientnet_b0_fps"] = round(cpu_fps, 2)
+            vs_baseline = b0_fps / cpu_fps
         except Exception:
             vs_baseline = 0.0
 
     print(json.dumps({
         "metric": "clu_ve_query_fps_efficientnet_b0_224px_bf16",
-        "value": round(fps, 2),
+        "value": round(b0_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 2),
+        "extra": extra,
     }))
 
 

@@ -21,6 +21,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from orbit_tpu.learners import SingleStepLearner
@@ -35,6 +37,13 @@ def main():
     wrapper.add_argument("--num_tasks", type=int, default=10)
     wrapper.add_argument("--checkpoint_dir", default="./getting_started_runs")
     wrapper.add_argument("--feature_extractor", default="vit_b_32_clip")
+    wrapper.add_argument("--assert_oracle", action="store_true",
+                         help="Assert the notebook oracle after the run: "
+                              "per-video frame accuracy 85.67 +/- 1.50 and "
+                              "4.78T mean MACs to personalise (+/-30%%) "
+                              "(reference notebook cell 8). Use with the "
+                              "pinned ProtoNets ViT-B-32-CLIP checkpoint and "
+                              "--num_tasks 10.")
     a = wrapper.parse_args()
 
     # The notebook's dataset settings (cell 4): validation split, max way,
@@ -58,6 +67,24 @@ def main():
     learner = SingleStepLearner(parse_args("single-step-learner", argv))
     learner.test(a.model_path)
     print(f"results.json saved under {learner.checkpoint_dir}")
+
+    if a.assert_oracle:
+        # Notebook cell 8 oracle: 85.67 (1.50) per-video frame accuracy,
+        # 4.78T (1.27T) MACs to personalise.
+        _, _, _, video_stats = learner.test_evaluator.get_mean_stats()
+        acc, ci = video_stats["frame_acc"]
+        macs = np.mean([tm for u in range(learner.test_evaluator.current_user + 1)
+                        for tm in np.atleast_1d(
+                            learner.test_evaluator.macs_counter[u]).tolist()
+                        if not isinstance(tm, list)])
+        print(f"oracle check: frame_acc={acc:.2f} ({ci:.2f}), "
+              f"mean MACs={macs / 1e12:.2f}T")
+        assert abs(acc - 85.67) <= 1.50, (
+            f"frame accuracy {acc:.2f} outside 85.67 +/- 1.50 "
+            "(BASELINE.md north star)")
+        assert abs(macs - 4.78e12) <= 0.3 * 4.78e12, (
+            f"mean MACs {macs / 1e12:.2f}T far from the 4.78T oracle")
+        print("oracle check passed")
 
 
 if __name__ == "__main__":

@@ -10,11 +10,28 @@ over classes: per grid step the (M, D) diff, its (D, D) precision matmul
 (MXU) and the row reduction all stay in VMEM, so HBM traffic is just the
 inputs and the (C, M) output.
 
-Output is (C, M) — classes on the sublane axis so each grid step writes one
-lane-aligned row — and transposed outside (free fusion for XLA).
+Output is (C, 8, M) — each (class, M-tile) grid cell owns one lane-aligned
+block, written exactly once — sliced/transposed to (M, C) outside (free
+fusion for XLA).
 
 Falls back to the jnp einsum path on non-TPU backends (``interpret=True``
 under tests).
+
+MEASURED on v5e (2026-08-16, scripts/bench_mahalanobis.py, C=16, D=1280,
+f32, min-of-3 two-point timing through the axon tunnel):
+
+    M= 256   xla 0.13-0.20 ms   pallas 0.05-0.26 ms   (noise-dominated)
+    M= 512   xla 0.16-0.26 ms   pallas 0.31-0.54 ms
+    M=1024   xla ~0.37 ms       pallas 0.67-1.02 ms
+    M=2048   xla 0.91-1.12 ms   pallas 1.27-1.44 ms
+    max |xla - pallas| = 3.9e-3 on |logits| ~ 1e3 (both effectively f32)
+
+XLA's batched-einsum formulation sustains ~100-145 TF/s (it fuses the diff
+into the matmul operands and runs default-precision MXU passes); the Pallas
+kernel reaches ~80-85 TF/s. The op is <5% of end-to-end CLU-VE predict time
+(the backbone dominates), so the DEFAULT BACKEND IS XLA and the kernel is
+an opt-in (``force="pallas"``) kept for the D-tiled accumulation pattern and
+as a regression harness. Re-measure before flipping the default.
 """
 from __future__ import annotations
 
@@ -27,19 +44,43 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _kernel(mask_ref, feats_ref, means_ref, prec_ref, out_ref, *, logit_scale):
-    # grid: (C, M_tiles), M innermost so each class's precision block is
-    # DMA'd once and reused across query tiles. Blocks: feats (TILE_M, D),
-    # prec (1, D, D) — the big streamed operand — means (C, D) and out
-    # (C, TILE_M) resident, mask (C, 1) in SMEM.
+def _kernel(mask_ref, feats_ref, means_ref, prec_ref, out_ref, half_ref, *,
+            logit_scale):
+    # grid: (C, M_tiles, D_tiles) — D innermost so the quadratic form
+    # accumulates over row-tiles of the class's (D, D) precision; each class's
+    # precision is streamed ONCE and reused across its query tiles (the
+    # (ci, 0, ki) index map only changes with ci/ki). Blocks: feats
+    # (TILE_M, D), prec row-tile (1, TILE_D, D), half accumulator
+    # (TILE_M, D) f32 scratch in VMEM, out (C, TILE_M), mask (C, 1) in SMEM.
     import jax.experimental.pallas as pl
 
     ci = pl.program_id(0)
-    diff = feats_ref[:] - means_ref[ci, :]                      # (TILE_M, D)
-    half = jnp.dot(diff, prec_ref[0], preferred_element_type=jnp.float32)
-    dist = jnp.sum(half * diff, axis=1)                         # (TILE_M,)
-    valid = mask_ref[ci, 0] > 0
-    out_ref[ci, :] = jnp.where(valid, -logit_scale * dist, NEG_INF)
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    tile_d = prec_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _():
+        half_ref[:] = jnp.zeros_like(half_ref)
+
+    k0 = pl.multiple_of(ki * tile_d, 128)  # lane-aligned column slice
+    diff_k = (feats_ref[:, pl.ds(k0, tile_d)]
+              - means_ref[ci, pl.ds(k0, tile_d)])               # (TILE_M, TILE_D)
+    half_ref[:] += jnp.dot(diff_k, prec_ref[0],
+                           preferred_element_type=jnp.float32)  # (TILE_M, D)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        diff = feats_ref[:] - means_ref[ci, :]                  # (TILE_M, D)
+        dist = jnp.sum(half_ref[:] * diff, axis=1)              # (TILE_M,)
+        valid = mask_ref[ci, 0] > 0
+        row = jnp.where(valid, -logit_scale * dist, NEG_INF)
+        # out block is (1, 8, TILE_M) at (ci, 0, j): each grid cell owns its
+        # own block, written exactly once — revisiting an output block across
+        # non-consecutive grid steps is undefined in pallas (it produced
+        # garbage at M_tiles >= 4). The sublane dim must be >= 8, so the row
+        # is broadcast 8x and the caller slices [:, 0, :].
+        out_ref[0, :, :] = jnp.broadcast_to(row, (8, row.shape[0]))
 
 
 def _pallas_logits(features, means, precisions, class_mask, logit_scale,
@@ -50,24 +91,35 @@ def _pallas_logits(features, means, precisions, class_mask, logit_scale,
     m, d = features.shape
     c = means.shape[0]
     tile_m = m
-    while tile_m > 256 and tile_m % 2 == 0:   # bound VMEM: feats tile + double-
-        tile_m //= 2                          # buffered (1, D, D) precision
-    grid = (c, m // tile_m)
+    while tile_m > 256 and tile_m % 2 == 0:
+        tile_m //= 2
+    # D-tiling over the precision operand bounds VMEM: feats tile + half
+    # accumulator + double-buffered (1, TILE_D, D) precision row-tile.
+    # TILE_D must be lane-aligned (multiple of 128) or Mosaic rejects the
+    # dynamic feats/means column slice.
+    tile_d = d
+    for cand in (256, 128):
+        if d % cand == 0:
+            tile_d = cand
+            break
+    grid = (c, m // tile_m, d // tile_d)
     out = pl.pallas_call(
         functools.partial(_kernel, logit_scale=logit_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # mask (C,1)
-            pl.BlockSpec((tile_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, d), lambda i, j, k: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, d), lambda i, j, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_d, d), lambda i, j, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c, tile_m), lambda i, j: (0, j),
+        out_specs=pl.BlockSpec((1, 8, tile_m), lambda i, j, k: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, 8, m), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_m, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * d * d * c + 3 * m * d * c,
-            bytes_accessed=(m * d + c * d + c * d * d + c * m) * 4,
+            bytes_accessed=(m * d * c + c * d + c * d * d + c * m) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -75,7 +127,7 @@ def _pallas_logits(features, means, precisions, class_mask, logit_scale,
       features.astype(jnp.float32),
       means.astype(jnp.float32),
       precisions.astype(jnp.float32))
-    return out.T  # (M, C)
+    return out[:, 0, :].T  # (M, C)
 
 
 def mahalanobis_logits(features: jnp.ndarray, means: jnp.ndarray,
@@ -98,10 +150,6 @@ def mahalanobis_logits(features: jnp.ndarray, means: jnp.ndarray,
     # opt-in (force="pallas") until it wins.
     backend = force or "xla"
 
-    if backend == "pallas" and features.shape[0] > 512:
-        # the tunnel's remote compiler rejects the larger-tile variants;
-        # revisit when M-tiling over the precision operand lands
-        backend = "xla"
     if backend in ("pallas", "interpret"):
         return _pallas_logits(features, means, precisions, class_mask,
                               logit_scale, interpret=(backend == "interpret"))

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Generate golden-activation fingerprints for the pinned pretrained weights.
+
+The reference constructs its backbones from five pinned checkpoints
+(reference: model/feature_extractors.py:37-79 — timm tf_efficientnet_b0 /
+tf_efficientnetv2_s_in21k / vit_small_patch32_224 / vit_base_patch32_224 and
+OpenAI CLIP ViT-B/32). Our parity tests run the converted Flax model against
+an independent torch reimplementation with *fabricated* weights; if both
+share a misunderstanding of timm, they self-confirm. This script closes that
+hole: run it ONCE in an environment with the real checkpoints (network +
+optionally timm installed) and commit the resulting JSON under
+``data/fingerprints/``. ``tests/test_fingerprints.py`` then asserts the Flax
+forward reproduces the recorded activations whenever the state dict is
+available locally.
+
+Usage:
+    python scripts/make_activation_fingerprints.py \
+        --backbone efficientnet_b0 \
+        --state_dict path/to/tf_efficientnet_b0_aa-827b6e33.pth \
+        [--timm_name tf_efficientnet_b0]   # also record timm's own output
+
+The fingerprint records: backbone, input seed/shape, the state dict's SHA256,
+and the first 32 values of the pooled feature vector for 2 seeded frames —
+from the converted Flax model, and (when timm is importable) from the
+genuine timm model as ground truth.
+"""
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FRAME_SIZE = 224
+N_VALUES = 32
+
+
+def seeded_input(seed: int = 0, n: int = 2):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, FRAME_SIZE, FRAME_SIZE, 3)).astype(np.float32)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--backbone", required=True)
+    p.add_argument("--state_dict", required=True,
+                   help="torch .pth/.bin checkpoint (pinned pretrained weights)")
+    p.add_argument("--timm_name", default=None,
+                   help="timm model name; if given and timm is importable, "
+                        "also record the genuine timm forward as ground truth")
+    p.add_argument("--out_dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "fingerprints"))
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+
+    import jax
+
+    from orbit_tpu.models.backbones import create_feature_extractor
+    from orbit_tpu.models.convert import convert_extractor, load_torch_state_dict
+
+    with open(a.state_dict, "rb") as f:
+        sd_sha = hashlib.sha256(f.read()).hexdigest()
+    sd = load_torch_state_dict(a.state_dict)
+    params, stats = convert_extractor(sd, a.backbone)
+
+    x = seeded_input(a.seed)
+    module, _, _ = create_feature_extractor(a.backbone)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    flax_out = np.asarray(jax.jit(lambda v, x: module.apply(v, x))(
+        jax.tree_util.tree_map(np.asarray, variables), x))
+
+    record = {
+        "backbone": a.backbone,
+        "input_seed": a.seed,
+        "input_shape": list(x.shape),
+        "state_dict_sha256": sd_sha,
+        "state_dict_basename": os.path.basename(a.state_dict),
+        "flax_features": flax_out[:, :N_VALUES].tolist(),
+    }
+
+    if a.timm_name:
+        try:
+            import timm
+            import torch
+            model = timm.create_model(a.timm_name, pretrained=False, num_classes=0)
+            model.load_state_dict(
+                {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+            model.eval()
+            with torch.no_grad():
+                t_out = model(torch.as_tensor(x).permute(0, 3, 1, 2)).numpy()
+            record["timm_features"] = t_out[:, :N_VALUES].tolist()
+            drift = float(np.abs(t_out - flax_out).max())
+            record["timm_vs_flax_max_abs"] = drift
+            print(f"timm vs flax max abs diff: {drift:.3e}")
+        except ImportError:
+            print("timm/torch not importable; recording flax-only fingerprint")
+
+    os.makedirs(a.out_dir, exist_ok=True)
+    out_path = os.path.join(a.out_dir, f"{a.backbone}.json")
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

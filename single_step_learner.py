@@ -1,4 +1,9 @@
-"""Underscore alias of ``single-step-learner.py`` (importable module name)."""
+"""Underscore alias of ``single-step-learner.py``.
+
+Kept deliberately: the reference CLI file name is hyphenated (unimportable);
+this module provides the importable entry point for tooling/tests. Both run
+the same learner; there is no duplicated logic.
+"""
 from orbit_tpu.learners import SingleStepLearner
 from orbit_tpu.utils.args import parse_args
 
