@@ -245,8 +245,14 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
                                             grad_idxs, clips_b, labels_b, mask_b)
             return (tree_add(grads_acc, grads), loss_acc + loss), logits
 
+        # the loss carry must share the episode data's device-varying type
+        # under shard_map (scan carry in/out types must match; grads stay
+        # replicated because shard_map's AD psums replicated-param
+        # cotangents) — deriving the zero from episode data is a no-op
+        # outside shard_map
+        loss0 = 0.0 * episode["target_mask"].astype(jnp.float32).sum()
         (grads, loss), logits = jax.lax.scan(
-            body, (tree_zeros_like(params), jnp.float32(0.0)),
+            body, (tree_zeros_like(params), loss0),
             (rngs, tgt_clips, tgt_labels, tgt_mask))
         return grads, loss, logits.reshape(nb * batch_size, -1)[:m], new_stats
 

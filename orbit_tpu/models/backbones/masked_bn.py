@@ -69,6 +69,14 @@ class MaskedBatchNorm(nn.Module):
                 mean = (xf * w).sum(axis=reduce_axes) / safe
                 var = jnp.maximum(
                     (xf * xf * w).sum(axis=reduce_axes) / safe - mean * mean, 0.0)
+                # an all-padding batch (count == 0) must normalise with the
+                # RUNNING stats, not the degenerate mean=0/var=0 — otherwise
+                # every layer amplifies activations by ~1/sqrt(eps) and a
+                # deep net overflows (NaN gradients even under a zero-weight
+                # loss, since 0 * inf = nan)
+                has_rows = count > 0
+                mean = jnp.where(has_rows, mean, ra_mean.value)
+                var = jnp.where(has_rows, var, ra_var.value)
             if not self.is_initializing():
                 # torch-style update: unbiased variance into the running stat
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)

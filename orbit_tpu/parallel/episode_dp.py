@@ -142,9 +142,10 @@ class EpisodeDataParallel:
 
         losses: List[float] = []
         dp = self.dp
-        groups_per_update = max(1, self.args.tasks_per_batch // dp)
+        tasks_per_batch = max(1, self.args.tasks_per_batch)
         n_groups = (len(tasks) + dp - 1) // dp
         grads_acc = None
+        tasks_since_update = 0
         for g in range(n_groups):
             real = [pad_episode(t) for t in tasks[g * dp:(g + 1) * dp]]
             n_real = len(real)
@@ -170,7 +171,13 @@ class EpisodeDataParallel:
                     evaluator.update_stats(
                         logits[i][:n_valid, :ep.way],
                         np.asarray(batch["target_labels"][i][:n_valid]))
-            if (g + 1) % groups_per_update == 0 or g == n_groups - 1:
+            # the reference steps the optimiser every tasks_per_batch tasks,
+            # plus once for the final partial batch (single-step-learner.py:
+            # 162-166); count REAL tasks so dp∤tasks_per_batch stays closest
+            # to that cadence
+            tasks_since_update += n_real
+            if tasks_since_update >= tasks_per_batch or g == n_groups - 1:
                 params, opt_state = self._apply(params, opt_state, grads_acc)
                 grads_acc = None
+                tasks_since_update = 0
         return params, rest, opt_state, losses

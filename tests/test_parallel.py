@@ -74,6 +74,42 @@ def test_dp_grads_match_serial_sum(tiny_model):
     assert np.asarray(dp_losses).shape == (2,)
 
 
+def test_dp_lite_grads_match_serial_sum(tiny_model):
+    """LITE (the reference's headline meta-training mode) through
+    episode-DP: mesh-summed LITE gradients equal the serial per-task LITE
+    gradients summed, with identical per-task rngs driving identical
+    grad-subset draws."""
+    from orbit_tpu.learners import steps as steps_lib
+    from orbit_tpu.parallel import EpisodeDataParallel, make_mesh
+    from orbit_tpu.utils.optim import init_optimizer
+
+    rec, variables = tiny_model
+    args = tiny_args(with_lite=True, num_lite_samples=4, batch_size=8)
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    tx, _ = init_optimizer(params, args)
+
+    rng = np.random.default_rng(9)
+    eps = [synthetic_episode(rng), synthetic_episode(rng)]
+    batch = {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+    rngs = jax.random.split(jax.random.PRNGKey(21), 2)
+
+    edp = EpisodeDataParallel(rec, args, tx, mesh=make_mesh(2))
+    dp_grads, dp_losses, _, _ = edp.batch_grads(params, rest, batch, rngs)
+
+    task_fn = steps_lib.build_train_task_lite(rec, args)
+    serial = None
+    for ep, r in zip(eps, rngs):
+        g, _, _, _ = task_fn(variables, {k: jnp.asarray(v) for k, v in ep.items()}, r)
+        serial = g if serial is None else jax.tree_util.tree_map(jnp.add, serial, g)
+
+    for a, b in zip(jax.tree_util.tree_leaves(dp_grads),
+                    jax.tree_util.tree_leaves(serial)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert np.isfinite(np.asarray(dp_losses)).all()
+
+
 def test_dummy_episode_contributes_exactly_zero_grad(tiny_model):
     """A leftover-group dummy (real context, target_mask all zero) must add
     exactly nothing to the mesh-summed gradient — film regulariser included —

@@ -102,6 +102,36 @@ def test_host_sharding_through_dataloader_facade(orbit_fixture_tree):
         resolve_host_sharding(SimpleNamespace(num_hosts=2, host_index=2))
 
 
+def test_merge_results_shards(tmp_path):
+    """scripts/merge_results.py combines per-host challenge results.json
+    shards; tasks of one user may span shards (strided task stream)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import merge_results
+
+    s0 = {"P001": [{"task_object_list": ["a"], "task_videos": {"v0": {1: 0}}}],
+          "P002": [{"task_object_list": ["b"], "task_videos": {"v2": {1: 1}}}]}
+    s1 = {"P001": [{"task_object_list": ["a"], "task_videos": {"v1": {1: 2}}}]}
+    merged = merge_results.merge([s0, s1])
+    assert set(merged) == {"P001", "P002"}
+    assert len(merged["P001"]) == 2 and len(merged["P002"]) == 1
+
+    p0, p1, out = tmp_path / "r0.json", tmp_path / "r1.json", tmp_path / "m.json"
+    p0.write_text(json.dumps(s0))
+    p1.write_text(json.dumps(s1))
+    argv = sys.argv
+    sys.argv = ["merge_results.py", str(out), str(p0), str(p1)]
+    try:
+        merge_results.main()
+    finally:
+        sys.argv = argv
+    with open(out) as f:
+        assert json.load(f) == json.loads(json.dumps(merged))
+
+
 def test_host_sharded_task_stream(orbit_fixture_tree):
     from orbit_tpu.data.queues import UserEpisodicDatasetQueue
 
