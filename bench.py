@@ -145,8 +145,18 @@ def main():
         # backbone computes in bf16 anyway
         clips = rng.standard_normal((batch, 1, 224, 224, 3)).astype(
             ml_dtypes.bfloat16 if on_accelerator else np.float32)
-        fps, flops = measure_fps(device, predict, variables, head, class_mask,
-                                 clips, iters=40 if on_accelerator else 3)
+        # the tunneled TPU occasionally throws a transient INTERNAL error;
+        # one retry keeps a flake from zeroing the whole round's benchmark
+        for attempt in (0, 1):
+            try:
+                fps, flops = measure_fps(device, predict, variables, head,
+                                         class_mask, clips,
+                                         iters=40 if on_accelerator else 3)
+                break
+            except Exception as e:
+                if attempt:
+                    extra[f"{name}_error"] = f"{type(e).__name__}"
+                    fps, flops = 0.0, 0.0
         extra[f"{name}_fps"] = round(fps, 1)
         extra[f"{name}_tflops"] = round(fps / batch * flops / 1e12, 2)
         if name == "efficientnet_b0":

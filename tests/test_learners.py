@@ -147,6 +147,20 @@ def test_single_step_train_data_parallel(orbit_root, tmp_path):
     assert os.path.exists(learner.checkpoint_path_final)
 
 
+def test_single_step_train_lite_data_parallel(orbit_root, tmp_path):
+    """--with_lite --data_parallel 2 — the reference's headline training mode
+    (LITE) through the shard_map episode-DP path, driver end-to-end (the LITE
+    scan carry must be device-varying under shard_map)."""
+    from orbit_tpu.learners import SingleStepLearner
+
+    args = make_args(orbit_root, str(tmp_path / "ckpt"), mode="train",
+                     adapt_features=True, with_lite=True, learn_extractor=True,
+                     data_parallel=2)
+    learner = SingleStepLearner(args)
+    learner.run()
+    assert os.path.exists(learner.checkpoint_path_final)
+
+
 def test_single_step_bf16_compute(orbit_root, tmp_path):
     """--compute_dtype bfloat16: backbone matmuls in bf16, heads f32."""
     from orbit_tpu.learners import SingleStepLearner
