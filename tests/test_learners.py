@@ -161,6 +161,19 @@ def test_single_step_train_lite_data_parallel(orbit_root, tmp_path):
     assert os.path.exists(learner.checkpoint_path_final)
 
 
+def test_single_step_clip_length_history(orbit_root, tmp_path):
+    """--clip_length 2: multi-frame clips flow through sampling,
+    attach_frame_history and the (N, T, H, W, 3) embed path end to end
+    (reference trains its LITE models at clip_length 8)."""
+    from orbit_tpu.learners import SingleStepLearner
+
+    args = make_args(orbit_root, str(tmp_path / "ckpt"), mode="test",
+                     clip_length=2)
+    learner = SingleStepLearner(args)
+    learner.run()
+    assert os.path.exists(learner.test_evaluator.json_results_path)
+
+
 def test_single_step_bf16_compute(orbit_root, tmp_path):
     """--compute_dtype bfloat16: backbone matmuls in bf16, heads f32."""
     from orbit_tpu.learners import SingleStepLearner
