@@ -170,6 +170,30 @@ class MultiStepLearner:
         self.init_model()
         self.init_evaluators()
         self.personalise_fn, self.predict_fn = build_finetune_fns(self.recogniser, args)
+        # MACs analysis twins at 1 and 2 grad steps: XLA cost analysis counts
+        # a scan body ONCE regardless of trip count, so the K-step inner loop
+        # is charged by linear interpolation over these two lowerings
+        # (analysis only — never executed)
+        from types import SimpleNamespace
+        a1 = SimpleNamespace(**vars(args)); a1.personalize_num_grad_steps = 1
+        a2 = SimpleNamespace(**vars(args)); a2.personalize_num_grad_steps = 2
+        self._macs_fn_k1, _ = build_finetune_fns(self.recogniser, a1)
+        self._macs_fn_k2, _ = build_finetune_fns(self.recogniser, a2)
+
+    def _personalise_macs(self, ops_counter, ctx, n_valid: int) -> float:
+        """Protocol-exact FineTuner personalise MACs: bilinear in (context
+        rows, grad steps) — rows via single-chunk affine interpolation,
+        steps via the K=1/K=2 analysis twins (reference profiles the full
+        multi-step personalise, multi-step-learner.py:126)."""
+        kwargs = dict(row_argnums=(1, 2, 3), n_valid=n_valid,
+                      max_rows=self.recogniser.batch_size)
+        f1 = ops_counter.interpolated_flops(
+            "personalise_ft_k1", self._macs_fn_k1, (self.variables,) + ctx, **kwargs)
+        f2 = ops_counter.interpolated_flops(
+            "personalise_ft_k2", self._macs_fn_k2, (self.variables,) + ctx, **kwargs)
+        per_step = f2 - f1
+        base = f1 - per_step
+        return base + per_step * self.args.personalize_num_grad_steps
 
     def init_dataset(self):
         args = self.args
@@ -264,12 +288,10 @@ class MultiStepLearner:
             # the tunnel)
             np.asarray(jax.tree_util.tree_leaves(task_params["head"])[0])
             evaluator.log_time(time.time() - t1, "personalise")
-            # charge the REAL clip count, not the padded bucket (the MACs
-            # metric is protocol-exact; reference ops_counter.py:79-85)
-            evaluator.ops_counter.compute_macs("personalise_ft", self.personalise_fn,
-                                               self.variables, *ctx,
-                                               row_argnums=(1, 2, 3),
-                                               n_valid=int(ep.context_mask.sum()))
+            # charge the REAL clip count and the REAL grad-step count (the
+            # MACs metric is protocol-exact; reference ops_counter.py:79-85)
+            evaluator.ops_counter.add_macs(self._personalise_macs(
+                evaluator.ops_counter, ctx, int(ep.context_mask.sum())) / 2.0)
 
             num_target_clips = 0
             for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,

@@ -369,11 +369,14 @@ class SingleStepLearner:
                 evaluator.log_time(time.time() - t1, "personalise")
             if ops_counter is not None:
                 # charge the REAL clip count, not the padded bucket (the MACs
-                # metric is protocol-exact; reference ops_counter.py:79-85)
+                # metric is protocol-exact; reference ops_counter.py:79-85);
+                # analysis stays inside one feature chunk (max_rows) so
+                # lax.map trip counts can't be undercounted
                 ops_counter.compute_macs("personalise", self.personalise_fn,
                                          self.variables, *ctx,
                                          row_argnums=(1, 2, 3),
-                                         n_valid=int(ep.context_mask.sum()))
+                                         n_valid=int(ep.context_mask.sum()),
+                                         max_rows=self.recogniser.batch_size)
 
             num_target_clips = 0
             class_mask = jnp.asarray(ep.class_mask)

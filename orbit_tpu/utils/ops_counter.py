@@ -15,12 +15,25 @@ import numpy as np
 
 
 def flops_of(fn: Callable, *args, static_argnums=(), **kwargs) -> float:
-    """FLOPs of ``fn(*args)`` from the compiled XLA executable."""
-    compiled = jax.jit(fn, static_argnums=static_argnums).lower(*args, **kwargs).compile()
-    analysis = compiled.cost_analysis()
+    """FLOPs of ``fn(*args)`` from XLA cost analysis (lowering only — no
+    backend compile, no execution; identical FLOP counts, far cheaper).
+
+    CAVEAT (why the row-interpolation below exists): XLA cost analysis
+    counts a while/scan/map BODY ONCE, not times its trip count — a chunked
+    program (``lax.map`` over feature batches, scan over grad steps)
+    underreports by the trip count. Analyse at single-chunk sizes and
+    extrapolate instead of trusting a looped program's number.
+    """
+    lowered = jax.jit(fn, static_argnums=static_argnums).lower(*args, **kwargs)
+    try:
+        analysis = lowered.cost_analysis()
+    except Exception:
+        analysis = None
+    if analysis is None:  # some backends (e.g. the tunneled TPU) only
+        analysis = lowered.compile().cost_analysis()  # analyse post-compile
     if isinstance(analysis, list):  # one entry per device program
         analysis = analysis[0]
-    return float(analysis.get("flops", 0.0))
+    return float(analysis.get("flops", 0.0)) if analysis else 0.0
 
 
 def count_params(tree) -> int:
@@ -72,44 +85,60 @@ class OpsCounter:
             self._flops_cache[cache_key] = flops_of(fn, *args, **kwargs)
         return self._flops_cache[cache_key]
 
+    def interpolated_flops(self, key: str, fn: Callable, args,
+                           row_argnums: Tuple[int, ...], n_valid: int,
+                           row_axis: int = 0,
+                           max_rows: Optional[int] = None) -> float:
+        """Protocol-exact FLOPs of ``fn`` at the task's REAL row count.
+
+        Program FLOPs are affine in the row dimension (every HLO op's FLOPs
+        is linear in it; row-independent ops form the intercept), so two
+        abstract lowerings pin slope and intercept and the task is charged
+        ``intercept + slope * n_valid`` — the reference's actual-shape thop
+        accounting (reference utils/ops_counter.py:79-85).
+
+        The two analysis sizes are capped at ``max_rows`` (the feature-
+        extraction chunk size): beyond one chunk the program wraps the
+        backbone in ``lax.map``, whose body XLA cost analysis counts ONCE
+        regardless of trip count — analysing inside the single-chunk regime
+        keeps the count exact and the affine model extrapolates to any task
+        size.
+        """
+        n_padded = args[row_argnums[0]].shape[row_axis]
+        n_hi = min(n_padded, max_rows) if max_rows else n_padded
+        n_lo = max(n_hi // 2, 1)
+
+        def at_rows(n):
+            def leaf_of(a, shrink):
+                def leaf(x):
+                    shape = list(x.shape)
+                    if shrink:
+                        shape[row_axis] = n
+                    return jax.ShapeDtypeStruct(tuple(shape), x.dtype)
+                return jax.tree_util.tree_map(leaf, a)
+            sized = tuple(leaf_of(a, i in row_argnums) for i, a in enumerate(args))
+            return self._flops_for(key, fn, sized, {})
+
+        flops_hi = at_rows(n_hi)
+        if n_hi == n_lo:
+            return flops_hi
+        flops_lo = at_rows(n_lo)
+        slope = (flops_hi - flops_lo) / float(n_hi - n_lo)
+        return flops_hi + slope * (n_valid - n_hi)
+
     def compute_macs(self, key: str, fn: Callable, *args,
                      row_argnums: Optional[Tuple[int, ...]] = None,
                      n_valid: Optional[int] = None, row_axis: int = 0,
-                     **kwargs) -> None:
-        """Charge the MACs of ``fn(*args)``.
-
-        With ``row_argnums``/``n_valid``, charge the *protocol-exact* MACs of
-        the task's REAL row count instead of the padded bucket's: program
-        FLOPs are affine in the padded row dimension (every HLO op's FLOPs is
-        linear in it, row-independent ops form the intercept), so analysing
-        the program at the padded size N and once more at N//2 (abstract
-        shapes only — no data, no execution) pins slope and intercept, and
-        the task is charged ``intercept + slope * n_valid``. This matches the
-        reference's actual-shape thop profiling (reference
-        utils/ops_counter.py:79-85) while keeping one compiled program per
-        bucket.
+                     max_rows: Optional[int] = None, **kwargs) -> None:
+        """Charge the MACs of ``fn(*args)``; see ``interpolated_flops`` for
+        the row-interpolation mode (``row_argnums``/``n_valid``/``max_rows``).
         """
-        flops = self._flops_for(key, fn, args, kwargs)
         if row_argnums is None or n_valid is None:
-            self.add_macs(flops / 2.0)
+            self.add_macs(self._flops_for(key, fn, args, kwargs) / 2.0)
             return
-        n_padded = args[row_argnums[0]].shape[row_axis]
-        if n_valid >= n_padded:
-            self.add_macs(flops / 2.0)
-            return
-
-        def abstract(a, shrink: bool):
-            def leaf(x):
-                shape = list(x.shape)
-                if shrink:
-                    shape[row_axis] = max(n_padded // 2, 1)
-                return jax.ShapeDtypeStruct(tuple(shape), x.dtype)
-            return jax.tree_util.tree_map(leaf, a)
-
-        half = tuple(abstract(a, i in row_argnums) for i, a in enumerate(args))
-        flops_half = self._flops_for(key, fn, half, kwargs)
-        slope = (flops - flops_half) / float(n_padded - max(n_padded // 2, 1))
-        self.add_macs((flops - slope * (n_padded - n_valid)) / 2.0)
+        flops = self.interpolated_flops(key, fn, args, row_argnums, n_valid,
+                                        row_axis=row_axis, max_rows=max_rows)
+        self.add_macs(flops / 2.0)
 
     def check_for_uncounted_modules(self, _model=None) -> str:
         """API parity with the reference's thop leaf-module audit

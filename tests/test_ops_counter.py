@@ -60,6 +60,45 @@ def test_row_interpolated_macs_match_unpadded_program():
     assert c2.get_task_macs() > interpolated
 
 
+def test_chunked_program_macs_not_undercounted():
+    """XLA cost analysis counts a lax.map body ONCE regardless of trips;
+    with max_rows the counter analyses in the single-chunk regime and
+    extrapolates, so a chunked program charges the same MACs as its
+    unchunked twin."""
+    import jax
+
+    w = jnp.zeros((64, 64), jnp.float32)
+    chunk = 16
+
+    def chunked(w, x, labels, mask):
+        n = x.shape[0]
+        if n <= chunk:
+            return jnp.tanh(x @ w).sum(0)
+        xs = x.reshape(n // chunk, chunk, 64)
+        return jax.lax.map(lambda c: jnp.tanh(c @ w), xs).reshape(n, 64).sum(0)
+
+    def direct(w, x, labels, mask):
+        return jnp.tanh(x @ w).sum(0)
+
+    n_valid, n_pad = 100, 128
+    args = (w, jnp.zeros((n_pad, 64), jnp.float32),
+            jnp.zeros((n_pad,), jnp.int32), jnp.zeros((n_pad,), jnp.float32))
+
+    c = OpsCounter()
+    c.compute_macs("chunked", chunked, *args, row_argnums=(1, 2, 3),
+                   n_valid=n_valid, max_rows=chunk)
+    got = c.get_task_macs()
+    exact = flops_of(direct, w, jnp.zeros((n_valid, 64), jnp.float32),
+                     jnp.zeros((n_valid,), jnp.int32),
+                     jnp.zeros((n_valid,), jnp.float32)) / 2.0
+    np.testing.assert_allclose(got, exact, rtol=0.02)
+
+    # without max_rows the looped program's own count is ~n_pad/chunk too low
+    c2 = OpsCounter()
+    c2.compute_macs("chunked2", chunked, *args)
+    assert c2.get_task_macs() < 0.3 * got
+
+
 def test_row_interpolation_on_recogniser_personalise():
     """End-to-end: the personalise program's interpolated MACs at the real
     clip count match lowering the same program unpadded."""
