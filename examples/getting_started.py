@@ -37,6 +37,9 @@ def main():
     wrapper.add_argument("--num_tasks", type=int, default=10)
     wrapper.add_argument("--checkpoint_dir", default="./getting_started_runs")
     wrapper.add_argument("--feature_extractor", default="vit_b_32_clip")
+    wrapper.add_argument("--frame_size", type=int, default=224,
+                         help="224 for the real protocol; smaller for smoke "
+                              "tests on synthetic trees.")
     wrapper.add_argument("--assert_oracle", action="store_true",
                          help="Assert the notebook oracle after the run: "
                               "per-video frame accuracy 85.67 +/- 1.50 and "
@@ -57,7 +60,7 @@ def main():
         "--classifier", "proto",
         "--logit_scale", "1.0",
         "--num_test_tasks", str(a.num_tasks),
-        "--frame_size", "224",
+        "--frame_size", str(a.frame_size),
     ]
     if a.model_path:
         argv += ["--model_path", a.model_path]
