@@ -76,10 +76,8 @@ def main():
         # 4.78T (1.27T) MACs to personalise.
         _, _, _, video_stats = learner.test_evaluator.get_mean_stats()
         acc, ci = video_stats["frame_acc"]
-        macs = np.mean([tm for u in range(learner.test_evaluator.current_user + 1)
-                        for tm in np.atleast_1d(
-                            learner.test_evaluator.macs_counter[u]).tolist()
-                        if not isinstance(tm, list)])
+        acc, ci = acc * 100.0, ci * 100.0  # stats are fractions; oracle is %
+        macs = np.mean(learner.test_evaluator.raw_task_macs())
         print(f"oracle check: frame_acc={acc:.2f} ({ci:.2f}), "
               f"mean MACs={macs / 1e12:.2f}T")
         assert abs(acc - 85.67) <= 1.50, (

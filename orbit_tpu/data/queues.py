@@ -124,7 +124,16 @@ class DatasetQueue:
     def get_tasks(self) -> Iterator[Dict]:
         order = task_order(self.rng, len(self), self.num_tasks, self.shuffle)
         if self.num_shards > 1:
-            order = order[self.shard_index::self.num_shards]
+            # shard at whole-user/object granularity (blocks of num_tasks):
+            # each host owns complete per-user task groups, so downstream
+            # per-user aggregation (evaluators, challenge results.json)
+            # stays correct on every shard. Shuffled train orders are
+            # partitioned the same way — any deterministic disjoint
+            # partition is valid there.
+            blocks = [order[i:i + self.num_tasks]
+                      for i in range(0, len(order), self.num_tasks)]
+            order = [t for b in blocks[self.shard_index::self.num_shards]
+                     for t in b]
         if self.prefetch <= 0:
             for item in order:
                 yield self.loader.load_task(self._plan(item))

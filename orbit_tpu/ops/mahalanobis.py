@@ -47,9 +47,10 @@ NEG_INF = -1e30
 def _kernel(mask_ref, feats_ref, means_ref, prec_ref, out_ref, half_ref, *,
             logit_scale):
     # grid: (C, M_tiles, D_tiles) — D innermost so the quadratic form
-    # accumulates over row-tiles of the class's (D, D) precision; each class's
-    # precision is streamed ONCE and reused across its query tiles (the
-    # (ci, 0, ki) index map only changes with ci/ki). Blocks: feats
+    # accumulates over row-tiles of the class's (D, D) precision. NB the
+    # (i, k, 0) precision index map changes per (class, D-tile) AND resets
+    # per M-tile, so precision is re-streamed M_tiles times per class —
+    # reflected in the cost estimate below. Blocks: feats
     # (TILE_M, D), prec row-tile (1, TILE_D, D), half accumulator
     # (TILE_M, D) f32 scratch in VMEM, out (C, TILE_M), mask (C, 1) in SMEM.
     import jax.experimental.pallas as pl
@@ -119,7 +120,9 @@ def _pallas_logits(features, means, precisions, class_mask, logit_scale,
         scratch_shapes=[pltpu.VMEM((tile_m, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * d * d * c + 3 * m * d * c,
-            bytes_accessed=(m * d * c + c * d + c * d * d + c * m) * 4,
+            # feats re-read per class; precision re-streamed per M-tile
+            bytes_accessed=(m * d * c + c * d
+                            + (m // tile_m) * c * d * d + c * m) * 4,
             transcendentals=0,
         ),
         interpret=interpret,

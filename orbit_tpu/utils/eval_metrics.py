@@ -277,14 +277,20 @@ class TestEvaluator(Evaluator):
             for stat, scores in scores_by_stat.items() if stat in self.stats_to_compute
         }
 
+    def raw_task_macs(self, current_user: bool = False):
+        """Flat list of per-task MACs values (raw floats, not formatted)."""
+        users = [self.current_user] if current_user else range(self.current_user + 1)
+        return [tm for u in users
+                for tm in np.atleast_1d(self.macs_counter[u]).tolist()
+                if not isinstance(tm, list)]
+
     def get_mean_ops_counter_stats(self, current_user: bool = False):
         """Mean/std MACs-to-personalise per task + param count breakdown
         (reference: eval_metrics.py:221-234)."""
         if not self.ops_counter:
             return "0.00B", "0.00B", "0.00B", ""
         users = [self.current_user] if current_user else range(self.current_user + 1)
-        task_macs = [tm for u in users for tm in np.atleast_1d(self.macs_counter[u]).tolist()
-                     if not isinstance(tm, list)]
+        task_macs = self.raw_task_macs(current_user)
         task_params = [tp for u in users for tp in np.atleast_1d(self.params_counter[u]).tolist()
                        if not isinstance(tp, list)]
         if not task_macs:

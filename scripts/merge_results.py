@@ -4,8 +4,9 @@
 With ``--num_hosts N`` each host evaluates a disjoint strided slice of the
 task stream and writes its own ``results.json`` (challenge format:
 ``{user: [{task_object_list, task_macs_to_personalise, task_videos}]}`` —
-reference eval_metrics.py:112-153). Tasks of one user can land on different
-hosts, so the merge concatenates per-user task lists across shards.
+reference eval_metrics.py:112-153). Sharding is at whole-user block
+granularity, but the merge still concatenates per-user task lists so it
+also handles streams sharded by other tools.
 
     python scripts/merge_results.py out.json shard0/results.json shard1/results.json ...
 """
