@@ -108,6 +108,15 @@ class DatasetQueue:
     def get_cluster_classes(self):
         return self.index.cluster_classes
 
+    def num_local_tasks(self) -> int:
+        """Tasks THIS shard will yield (whole-user blocks of ``num_tasks``);
+        equals the global total on a single host. Drivers must use this —
+        not ``num_users * num_tasks`` — for end-of-stream boundaries."""
+        n_blocks = len(self)
+        if self.num_shards > 1:
+            n_blocks = len(range(self.shard_index, n_blocks, self.num_shards))
+        return n_blocks * self.num_tasks
+
     # --- task stream ------------------------------------------------------
     def _plan(self, item: int):
         if self.object_centric:

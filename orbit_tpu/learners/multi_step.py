@@ -285,7 +285,8 @@ class MultiStepLearner:
         evaluator = self.test_evaluator
         evaluator.set_base_params(self.variables["params"])
         num_context_clips_per_task, num_target_clips_per_task = [], []
-        num_total_tasks = self.test_queue.num_users * args.num_test_tasks
+        # shard-local total (see single_step._run_eval_protocol)
+        num_total_tasks = self.test_queue.num_local_tasks()
 
         warmed = set()
         for step, task_dict in enumerate(self.test_queue.get_tasks()):

@@ -343,7 +343,10 @@ class SingleStepLearner:
         (reference: validate :245-296 / test :298-375)."""
         args = self.args
         num_context_clips_per_task, num_target_clips_per_task = [], []
-        num_total_tasks = queue.num_users * num_tasks_per_user
+        # shard-local: on --num_hosts > 1 this host owns only its block of
+        # users; using the global total would leave a phantom next_user()
+        # after the shard's last user (empty-user crash in get_mean_stats)
+        num_total_tasks = queue.num_local_tasks()
         ops_counter = getattr(evaluator, "ops_counter", None)
 
         warmed = set()

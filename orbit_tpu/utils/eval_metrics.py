@@ -277,22 +277,22 @@ class TestEvaluator(Evaluator):
             for stat, scores in scores_by_stat.items() if stat in self.stats_to_compute
         }
 
+    def _flat_counter(self, counter, current_user: bool):
+        users = [self.current_user] if current_user else range(self.current_user + 1)
+        return [v for u in users for v in np.atleast_1d(counter[u]).tolist()
+                if not isinstance(v, list)]
+
     def raw_task_macs(self, current_user: bool = False):
         """Flat list of per-task MACs values (raw floats, not formatted)."""
-        users = [self.current_user] if current_user else range(self.current_user + 1)
-        return [tm for u in users
-                for tm in np.atleast_1d(self.macs_counter[u]).tolist()
-                if not isinstance(tm, list)]
+        return self._flat_counter(self.macs_counter, current_user)
 
     def get_mean_ops_counter_stats(self, current_user: bool = False):
         """Mean/std MACs-to-personalise per task + param count breakdown
         (reference: eval_metrics.py:221-234)."""
         if not self.ops_counter:
             return "0.00B", "0.00B", "0.00B", ""
-        users = [self.current_user] if current_user else range(self.current_user + 1)
         task_macs = self.raw_task_macs(current_user)
-        task_params = [tp for u in users for tp in np.atleast_1d(self.params_counter[u]).tolist()
-                       if not isinstance(tp, list)]
+        task_params = self._flat_counter(self.params_counter, current_user)
         if not task_macs:
             return "0.00B", "0.00B", "0.00B", self.ops_counter.params_break_down
         return (clever_format(float(np.mean(task_macs))),

@@ -105,6 +105,17 @@ class OpsCounter:
         size.
         """
         n_padded = args[row_argnums[0]].shape[row_axis]
+        if max_rows is not None and max_rows < 2:
+            # cannot stay in the single-chunk regime with two distinct sizes
+            # (e.g. batch_size <= clip_length): fall back to the padded
+            # program's own count, loudly — it misestimates looped programs
+            import warnings
+            warnings.warn(
+                f"MACs row-interpolation disabled for '{key}': the feature "
+                f"chunk holds <2 rows (max_rows={max_rows}); charging the "
+                "padded program's raw cost analysis, which undercounts "
+                "loop trip counts.")
+            return self._flops_for(key, fn, args, {})
         n_hi = min(n_padded, max_rows) if max_rows else n_padded
         n_lo = max(n_hi // 2, 1)
 

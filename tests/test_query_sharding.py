@@ -107,6 +107,41 @@ def test_host_sharding_through_dataloader_facade(orbit_fixture_tree):
         resolve_host_sharding(SimpleNamespace(num_hosts=2, host_index=2))
 
 
+def test_host_sharded_eval_end_to_end(orbit_fixture_tree, tmp_path_factory):
+    """--num_hosts 2 through the full CLU-VE driver: each host evaluates its
+    own whole-user blocks, finishes cleanly at its shard-local end of stream
+    (no phantom next_user), writes its shard's results.json, and the merged
+    shards cover every user."""
+    import json
+    import os
+    import sys
+
+    from tests.test_learners import make_args
+    from orbit_tpu.learners import SingleStepLearner
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import merge_results
+
+    root = tmp_path_factory.mktemp("root")
+    src = os.path.realpath(orbit_fixture_tree)
+    for mode in ("train", "validation", "test"):
+        os.symlink(src, root / mode)
+
+    shards = []
+    for host in range(2):
+        args = make_args(str(root), str(tmp_path_factory.mktemp(f"ck{host}")),
+                         mode="test", num_hosts=2, host_index=host)
+        learner = SingleStepLearner(args)
+        learner.run()
+        with open(learner.test_evaluator.json_results_path) as f:
+            shards.append(json.load(f))
+
+    users = [set(s) for s in shards]
+    assert users[0] and users[1] and not (users[0] & users[1])
+    merged = merge_results.merge(shards)
+    assert set(merged) == {"P001", "P002"}
+
+
 def test_merge_results_shards(tmp_path):
     """scripts/merge_results.py combines per-host challenge results.json
     shards (concatenating per-user task lists handles any sharding)."""
