@@ -78,6 +78,7 @@ class DatasetQueue:
             subsample_factor=subsample_factor,
             with_caps=with_caps,
             test_mode=test_mode,
+            frame_size=frame_size,
         )
         self.loader = FrameLoader(frame_size, frame_norm_method, num_threads=num_threads,
                                   frame2anns=self.index.frame2anns,
@@ -89,10 +90,16 @@ class DatasetQueue:
         self.object_centric = object_centric
         # host-parallel loading (SURVEY.md §2.9 item 3): in a multi-host
         # deployment each host feeds its own strided slice of the task
-        # stream; the shared seed keeps the global order deterministic
+        # stream. Task *ordering* uses a dedicated rng reseeded per
+        # (seed, epoch) — see get_tasks — because the plan-sampling rng
+        # consumes a data-dependent number of draws per host, so sharing
+        # one stream would desynchronise the hosts' shuffles after epoch 1
+        # and break shard disjointness (advisor finding, round 2).
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.seed = seed
         self.rng = random.Random(seed)
+        self._epoch = 0
 
     # --- sizing -----------------------------------------------------------
     @property
@@ -131,7 +138,14 @@ class DatasetQueue:
         return sample_task_plan(self.index, task_objects, task_id, self.cfg, self.rng, obj2cluster)
 
     def get_tasks(self) -> Iterator[Dict]:
-        order = task_order(self.rng, len(self), self.num_tasks, self.shuffle)
+        # Every host must derive the IDENTICAL shuffled order each epoch for
+        # the block partition below to stay disjoint, while each host's
+        # plan-sampling rng (self.rng) drifts data-dependently. A dedicated
+        # rng keyed on (seed, epoch) makes ordering a pure function of run
+        # config, independent of how many plan draws this shard consumed.
+        order_rng = random.Random(f"order:{self.seed}:{self._epoch}")
+        self._epoch += 1
+        order = task_order(order_rng, len(self), self.num_tasks, self.shuffle)
         if self.num_shards > 1:
             # shard at whole-user/object granularity (blocks of num_tasks):
             # each host owns complete per-user task groups, so downstream

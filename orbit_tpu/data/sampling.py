@@ -24,16 +24,33 @@ benchmark setting).
 from __future__ import annotations
 
 import random
+import sys
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
+from orbit_tpu.data.episodes import SIZE_BUCKETS
 from orbit_tpu.data.index import DatasetIndex
 
 CLIP_CAP = 200     # max clips sampled from one video (datasets.py:79)
 FRAME_CAP = 1000   # max frames considered in one video (datasets.py:80)
 DEFAULT_SHOT_CAP = 15
+# hard ceiling on clips per episode set: the largest fixed-shape bucket
+# (orbit_tpu.data.episodes). Legal un-capped configs can exceed it (way 15 x
+# 15 target videos x 200 clips = 45,000 clips); instead of crashing at pad
+# time we subsample proportionally per video at plan time — the train-time
+# analog of the reference's memory caps (data/datasets.py:77-81).
+MAX_CLIPS_PER_SET = SIZE_BUCKETS[-1]
+EPISODE_BYTES_WARN = 1 << 30  # warn (once) past a 1 GiB host episode
+
+_warned_once: set = set()
+
+
+def _warn_once(key: str, msg: str) -> None:
+    if key not in _warned_once:
+        _warned_once.add(key)
+        print(f"orbit_tpu warning: {msg}", file=sys.stderr, flush=True)
 
 
 @dataclass
@@ -50,6 +67,7 @@ class SamplingConfig:
     subsample_factor: int = 30
     with_caps: bool = False                    # dynamic train-time shot caps
     test_mode: bool = False                    # group target by video
+    frame_size: int = 224                      # for episode byte estimates
 
 
 @dataclass
@@ -144,6 +162,39 @@ def _sample_clips_from_videos(rng: random.Random, index: DatasetIndex, video_pat
     return paths, video_ids
 
 
+def _cap_clip_rows(rng: random.Random, paths: np.ndarray, labels: np.ndarray,
+                   vids: np.ndarray, cap: int, task_id: str, set_name: str):
+    """Seeded proportional-per-video subsample of clip rows down to ``cap``.
+
+    Quotas follow the largest-remainder method over per-video clip counts, so
+    every video keeps (approximately) its share and no video is dropped
+    outright; selection within a video is a seeded ``rng.sample``. Row order
+    is preserved (callers shuffle afterwards where the protocol requires it).
+    """
+    n = len(paths)
+    if n <= cap:
+        return paths, labels, vids
+    uniq = list(dict.fromkeys(vids.tolist()))  # order-preserving unique
+    rows_by_vid = {v: np.flatnonzero(vids == v) for v in uniq}
+    quotas = {v: len(rows_by_vid[v]) * cap / n for v in uniq}
+    take = {v: int(quotas[v]) for v in uniq}
+    for v in sorted(uniq, key=lambda v: quotas[v] - take[v], reverse=True):
+        if sum(take.values()) >= cap:
+            break
+        take[v] += 1
+    keep: List[int] = []
+    for v in uniq:
+        rows = rows_by_vid[v]
+        keep.extend(sorted(rng.sample(list(rows), min(take[v], len(rows)))))
+    keep_arr = np.array(sorted(keep), dtype=np.int64)
+    _warn_once(
+        f"clip-cap:{set_name}",
+        f"task {task_id}: {set_name} set sampled {n} clips, above the largest "
+        f"episode bucket ({cap}); subsampled proportionally per video. Use "
+        f"--with_train_shot_caps (or lower shot/clip settings) to avoid this.")
+    return paths[keep_arr], labels[keep_arr], vids[keep_arr]
+
+
 def sample_task_plan(index: DatasetIndex, task_objects: Sequence[int], task_id: str,
                      cfg: SamplingConfig, rng: random.Random,
                      obj2cluster: Optional[Dict[int, int]] = None) -> TaskPlan:
@@ -183,6 +234,8 @@ def sample_task_plan(index: DatasetIndex, task_objects: Sequence[int], task_id: 
     c_paths = np.array(c_paths)
     c_labels = np.array(c_labels, dtype=np.int64)
     c_vids = np.array(c_vids, dtype=np.int64)
+    c_paths, c_labels, c_vids = _cap_clip_rows(
+        rng, c_paths, c_labels, c_vids, MAX_CLIPS_PER_SET, task_id, "context")
     perm = np.arange(len(c_paths))
     rng.shuffle(perm)
     plan = TaskPlan(
@@ -196,6 +249,20 @@ def sample_task_plan(index: DatasetIndex, task_objects: Sequence[int], task_id: 
     t_paths = np.array(t_paths)
     t_labels = np.array(t_labels, dtype=np.int64)
     t_vids = np.array(t_vids, dtype=np.int64)
+    if not cfg.test_mode:
+        # flat train targets pad into the same clip buckets as context; the
+        # test-mode per-video grouping is bounded by FRAME_CAP per video
+        t_paths, t_labels, t_vids = _cap_clip_rows(
+            rng, t_paths, t_labels, t_vids, MAX_CLIPS_PER_SET, task_id, "target")
+    est_bytes = (len(c_paths) + len(t_paths)) * cfg.clip_length \
+        * cfg.frame_size * cfg.frame_size * 3 * 4
+    if est_bytes > EPISODE_BYTES_WARN:
+        _warn_once(
+            "episode-bytes",
+            f"task {task_id}: episode is ~{est_bytes / (1 << 30):.1f} GiB of "
+            f"float32 pixels on the host ({len(c_paths)} context + "
+            f"{len(t_paths)} target clips at {cfg.frame_size}px); consider "
+            f"--with_train_shot_caps or a smaller frame size.")
     if cfg.test_mode:
         # group clips by video and flatten to per-video frame lists
         # (reference: prepare_set, datasets.py:487-504)

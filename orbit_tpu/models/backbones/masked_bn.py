@@ -58,17 +58,22 @@ class MaskedBatchNorm(nn.Module):
             reduce_axes = tuple(range(x.ndim - 1))
             # elements per row = product of the spatial axes
             row_elems = float(np_prod(x.shape[1:-1]))
+            # variance is computed two-pass (E[(x-mean)^2], not E[x^2]-E[x]^2):
+            # the one-pass form cancels catastrophically for poorly-centered
+            # high-magnitude activations even in float32 (advisor finding,
+            # round 2); one extra reduction, train path only
             if mask is None:
                 count = jnp.float32(x.shape[0] * row_elems)
                 mean = xf.mean(axis=reduce_axes)
-                var = jnp.maximum((xf * xf).mean(axis=reduce_axes) - mean * mean, 0.0)
+                centered = xf - mean
+                var = (centered * centered).mean(axis=reduce_axes)
             else:
                 w = mask.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
                 count = w.sum() * row_elems
                 safe = jnp.maximum(count, 1.0)
                 mean = (xf * w).sum(axis=reduce_axes) / safe
-                var = jnp.maximum(
-                    (xf * xf * w).sum(axis=reduce_axes) / safe - mean * mean, 0.0)
+                centered = xf - mean
+                var = (centered * centered * w).sum(axis=reduce_axes) / safe
                 # an all-padding batch (count == 0) must normalise with the
                 # RUNNING stats, not the degenerate mean=0/var=0 — otherwise
                 # every layer amplifies activations by ~1/sqrt(eps) and a

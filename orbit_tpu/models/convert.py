@@ -86,6 +86,8 @@ def convert_efficientnet(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
                 stats[f"{prefix}/mean"] = v
             elif leaf == "running_var":
                 stats[f"{prefix}/var"] = v
+            else:  # never drop a source tensor silently
+                raise ValueError(f"unmapped efficientnet bn leaf: {key}")
         else:
             raise ValueError(f"unmapped efficientnet key: {key}")
     return _nest(params), _nest(stats)
@@ -121,11 +123,118 @@ def convert_vit(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     return _nest(params), {}
 
 
+def convert_vit_npz(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Google 'augreg' big_vision ``.npz`` checkpoint -> our param tree.
+
+    The reference's pinned vit_s_32 / vit_b_32 URLs point at these npz files
+    directly (model/feature_extractors.py:49-58) and rely on timm's loader to
+    remap them; converting here makes download -> convert work from a fresh
+    clone without timm. Every source tensor is either mapped or in the
+    explicit skip-list; anything else raises.
+    """
+    params: Dict[str, np.ndarray] = {}
+    used = set()
+
+    def get(key: str) -> np.ndarray:
+        used.add(key)
+        return np.asarray(sd[key])
+
+    cls = get("cls")
+    d = cls.shape[-1]
+    params["cls_token"] = cls
+    params["pos_embed"] = get("Transformer/posembed_input/pos_embedding")
+    params["patch_embed/kernel"] = get("embedding/kernel")  # HWIO already
+    params["patch_embed/bias"] = get("embedding/bias")
+    params["norm/scale"] = get("Transformer/encoder_norm/scale")
+    params["norm/bias"] = get("Transformer/encoder_norm/bias")
+    depth = 1 + max(int(k.split("/")[1].split("_")[1]) for k in sd
+                    if k.startswith("Transformer/encoderblock_"))
+    for i in range(depth):
+        p = f"Transformer/encoderblock_{i}"
+        t = f"blocks_{i}"
+        params[f"{t}/norm1/scale"] = get(f"{p}/LayerNorm_0/scale")
+        params[f"{t}/norm1/bias"] = get(f"{p}/LayerNorm_0/bias")
+        params[f"{t}/norm2/scale"] = get(f"{p}/LayerNorm_2/scale")
+        params[f"{t}/norm2/bias"] = get(f"{p}/LayerNorm_2/bias")
+        params[f"{t}/mlp/fc1/kernel"] = get(f"{p}/MlpBlock_3/Dense_0/kernel")
+        params[f"{t}/mlp/fc1/bias"] = get(f"{p}/MlpBlock_3/Dense_0/bias")
+        params[f"{t}/mlp/fc2/kernel"] = get(f"{p}/MlpBlock_3/Dense_1/kernel")
+        params[f"{t}/mlp/fc2/bias"] = get(f"{p}/MlpBlock_3/Dense_1/bias")
+        a = f"{p}/MultiHeadDotProductAttention_1"
+        # (D, H, Dh) per q/k/v -> one fused (D, 3D) kernel, head-major columns
+        # matching Attention's reshape(n, s, 3, H, Dh)
+        params[f"{t}/attn/qkv/kernel"] = np.concatenate(
+            [get(f"{a}/{m}/kernel").reshape(d, -1) for m in ("query", "key", "value")],
+            axis=1)
+        params[f"{t}/attn/qkv/bias"] = np.concatenate(
+            [get(f"{a}/{m}/bias").reshape(-1) for m in ("query", "key", "value")])
+        params[f"{t}/attn/proj/kernel"] = get(f"{a}/out/kernel").reshape(-1, d)
+        params[f"{t}/attn/proj/bias"] = get(f"{a}/out/bias")
+    leftover = {k for k in sd if k not in used
+                and not k.startswith(("head", "pre_logits"))}
+    if leftover:
+        raise ValueError(f"unmapped augreg-npz keys: {sorted(leftover)[:5]}")
+    return _nest(params), {}
+
+
+def convert_vit_openclip(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """open_clip checkpoint (``open_clip_pytorch_model.bin``, the reference's
+    pinned laion2B ViT-B/32 — model/feature_extractors.py:60-66) -> our
+    param tree. Only the visual tower is used; the text tower, logit_scale
+    and the final image->text projection (``visual.proj``) are dropped, just
+    as timm does with ``num_classes=0`` (the reference reads the 768-d
+    pre-projection class token). CLIP's patch conv has no bias; ours is
+    zero-initialised, numerically identical."""
+    params: Dict[str, np.ndarray] = {}
+    used = set()
+
+    def get(key: str) -> np.ndarray:
+        used.add(key)
+        return np.asarray(sd[key])
+
+    cls = get("visual.class_embedding")
+    d = cls.shape[-1]
+    params["cls_token"] = cls.reshape(1, 1, d)
+    params["pos_embed"] = get("visual.positional_embedding")[None]
+    params["patch_embed/kernel"] = _t_conv(get("visual.conv1.weight"))
+    params["patch_embed/bias"] = np.zeros((d,), np.float32)
+    params["norm_pre/scale"] = get("visual.ln_pre.weight")
+    params["norm_pre/bias"] = get("visual.ln_pre.bias")
+    params["norm/scale"] = get("visual.ln_post.weight")
+    params["norm/bias"] = get("visual.ln_post.bias")
+    blocks = {int(k.split(".")[3]) for k in sd
+              if k.startswith("visual.transformer.resblocks.")}
+    for i in sorted(blocks):
+        p = f"visual.transformer.resblocks.{i}"
+        t = f"blocks_{i}"
+        params[f"{t}/norm1/scale"] = get(f"{p}.ln_1.weight")
+        params[f"{t}/norm1/bias"] = get(f"{p}.ln_1.bias")
+        params[f"{t}/norm2/scale"] = get(f"{p}.ln_2.weight")
+        params[f"{t}/norm2/bias"] = get(f"{p}.ln_2.bias")
+        params[f"{t}/attn/qkv/kernel"] = _t_linear(get(f"{p}.attn.in_proj_weight"))
+        params[f"{t}/attn/qkv/bias"] = get(f"{p}.attn.in_proj_bias")
+        params[f"{t}/attn/proj/kernel"] = _t_linear(get(f"{p}.attn.out_proj.weight"))
+        params[f"{t}/attn/proj/bias"] = get(f"{p}.attn.out_proj.bias")
+        params[f"{t}/mlp/fc1/kernel"] = _t_linear(get(f"{p}.mlp.c_fc.weight"))
+        params[f"{t}/mlp/fc1/bias"] = get(f"{p}.mlp.c_fc.bias")
+        params[f"{t}/mlp/fc2/kernel"] = _t_linear(get(f"{p}.mlp.c_proj.weight"))
+        params[f"{t}/mlp/fc2/bias"] = get(f"{p}.mlp.c_proj.bias")
+    leftover = {k for k in sd if k not in used and k.startswith("visual.")
+                and k != "visual.proj"}
+    if leftover:
+        raise ValueError(f"unmapped open_clip visual keys: {sorted(leftover)[:5]}")
+    return _nest(params), {}
+
+
 def convert_extractor(sd: Dict[str, np.ndarray], feature_extractor: str):
     if feature_extractor.startswith("efficientnet"):
         return convert_efficientnet(sd)
     if feature_extractor.startswith("vit"):
-        return convert_vit(sd)
+        if any(k.startswith("Transformer/") for k in sd):
+            return convert_vit_npz(sd)          # augreg big_vision .npz
+        if any(k.startswith("visual.") for k in sd):
+            return convert_vit_openclip(sd)     # open_clip .bin
+        return convert_vit(sd)                  # timm torch layout
     raise ValueError(f"unknown feature_extractor {feature_extractor}")
 
 

@@ -151,3 +151,143 @@ def test_load_pretrained_extractor_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(merged["batch_stats"]["extractor"]["bn1"]["mean"]),
         np.asarray(stats["bn1"]["mean"]))
+
+
+# ----------------------------------------------- alternate source layouts ----
+def _vit_tensors(d=16, depth=2, heads=2, patches=4, seed=5):
+    """One random draw of ViT weights, returned in BOTH timm-torch layout and
+    the same values re-expressed in augreg-npz / open_clip layouts."""
+    torch.manual_seed(seed)
+    hd = d // heads
+    timm_sd, npz, oc = {}, {}, {}
+    cls = torch.randn(1, 1, d); pos = torch.randn(1, patches + 1, d)
+    pw = torch.randn(d, 3, 8, 8); pb = torch.zeros(d)  # CLIP conv has no bias
+    nw, nb = torch.randn(d), torch.randn(d)
+    timm_sd.update({"cls_token": cls, "pos_embed": pos,
+                    "patch_embed.proj.weight": pw, "patch_embed.proj.bias": pb,
+                    "norm.weight": nw, "norm.bias": nb})
+    npz.update({"cls": cls, "Transformer/posembed_input/pos_embedding": pos,
+                "embedding/kernel": pw.permute(2, 3, 1, 0),
+                "embedding/bias": pb,
+                "Transformer/encoder_norm/scale": nw,
+                "Transformer/encoder_norm/bias": nb})
+    oc.update({"visual.class_embedding": cls.reshape(d),
+               "visual.positional_embedding": pos[0],
+               "visual.conv1.weight": pw,
+               "visual.ln_post.weight": nw, "visual.ln_post.bias": nb,
+               "visual.ln_pre.weight": torch.ones(d),
+               "visual.ln_pre.bias": torch.zeros(d),
+               "visual.proj": torch.randn(d, 8)})
+    for i in range(depth):
+        l1w, l1b = torch.randn(d), torch.randn(d)
+        l2w, l2b = torch.randn(d), torch.randn(d)
+        qkvw, qkvb = torch.randn(3 * d, d), torch.randn(3 * d)
+        prw, prb = torch.randn(d, d), torch.randn(d)
+        f1w, f1b = torch.randn(4 * d, d), torch.randn(4 * d)
+        f2w, f2b = torch.randn(d, 4 * d), torch.randn(d)
+        p = f"blocks.{i}"
+        timm_sd.update({f"{p}.norm1.weight": l1w, f"{p}.norm1.bias": l1b,
+                        f"{p}.norm2.weight": l2w, f"{p}.norm2.bias": l2b,
+                        f"{p}.attn.qkv.weight": qkvw, f"{p}.attn.qkv.bias": qkvb,
+                        f"{p}.attn.proj.weight": prw, f"{p}.attn.proj.bias": prb,
+                        f"{p}.mlp.fc1.weight": f1w, f"{p}.mlp.fc1.bias": f1b,
+                        f"{p}.mlp.fc2.weight": f2w, f"{p}.mlp.fc2.bias": f2b})
+        e = f"Transformer/encoderblock_{i}"
+        a = f"{e}/MultiHeadDotProductAttention_1"
+        npz.update({f"{e}/LayerNorm_0/scale": l1w, f"{e}/LayerNorm_0/bias": l1b,
+                    f"{e}/LayerNorm_2/scale": l2w, f"{e}/LayerNorm_2/bias": l2b,
+                    f"{e}/MlpBlock_3/Dense_0/kernel": f1w.t(),
+                    f"{e}/MlpBlock_3/Dense_0/bias": f1b,
+                    f"{e}/MlpBlock_3/Dense_1/kernel": f2w.t(),
+                    f"{e}/MlpBlock_3/Dense_1/bias": f2b,
+                    f"{a}/query/kernel": qkvw[:d].t().reshape(d, heads, hd),
+                    f"{a}/key/kernel": qkvw[d:2 * d].t().reshape(d, heads, hd),
+                    f"{a}/value/kernel": qkvw[2 * d:].t().reshape(d, heads, hd),
+                    f"{a}/query/bias": qkvb[:d].reshape(heads, hd),
+                    f"{a}/key/bias": qkvb[d:2 * d].reshape(heads, hd),
+                    f"{a}/value/bias": qkvb[2 * d:].reshape(heads, hd),
+                    f"{a}/out/kernel": prw.t().reshape(heads, hd, d),
+                    f"{a}/out/bias": prb})
+        r = f"visual.transformer.resblocks.{i}"
+        oc.update({f"{r}.ln_1.weight": l1w, f"{r}.ln_1.bias": l1b,
+                   f"{r}.ln_2.weight": l2w, f"{r}.ln_2.bias": l2b,
+                   f"{r}.attn.in_proj_weight": qkvw, f"{r}.attn.in_proj_bias": qkvb,
+                   f"{r}.attn.out_proj.weight": prw, f"{r}.attn.out_proj.bias": prb,
+                   f"{r}.mlp.c_fc.weight": f1w, f"{r}.mlp.c_fc.bias": f1b,
+                   f"{r}.mlp.c_proj.weight": f2w, f"{r}.mlp.c_proj.bias": f2b})
+    asnp = lambda sd: {k: np.asarray(v.detach().numpy(), np.float32)
+                       for k, v in sd.items()}
+    return asnp(timm_sd), asnp(npz), asnp(oc)
+
+
+def _assert_trees_equal(a, b, ignore=()):
+    fa, fb = tree_shapes(a), tree_shapes(b)
+    assert set(fa) - set(ignore) <= set(fb)
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(a)[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(b)[0])
+    for k, v in flat_a.items():
+        if jax.tree_util.keystr(k) in ignore:
+            continue
+        np.testing.assert_allclose(np.asarray(v), np.asarray(flat_b[k]),
+                                   err_msg=jax.tree_util.keystr(k))
+
+
+def test_convert_vit_npz_equals_timm_layout():
+    """The reference's pinned vit_s_32/vit_b_32 URLs are augreg .npz files
+    (model/feature_extractors.py:49-58); direct npz conversion must agree
+    with the timm-torch conversion of the same weights."""
+    from orbit_tpu.models.convert import convert_vit, convert_vit_npz
+
+    timm_sd, npz, _ = _vit_tensors()
+    p_timm, _ = convert_vit(timm_sd)
+    p_npz, _ = convert_vit_npz(npz)
+    _assert_trees_equal(p_timm, p_npz)
+
+
+def test_convert_vit_openclip_equals_timm_layout():
+    """The pinned laion2B ViT-B/32 ships as open_clip_pytorch_model.bin
+    (model/feature_extractors.py:60-66); the visual-tower conversion must
+    agree with the timm layout (norm_pre comes from ln_pre; visual.proj and
+    the text tower are dropped)."""
+    from orbit_tpu.models.convert import convert_vit, convert_vit_openclip
+
+    timm_sd, _, oc = _vit_tensors()
+    timm_sd["norm_pre.weight"] = np.asarray(oc["visual.ln_pre.weight"])
+    timm_sd["norm_pre.bias"] = np.asarray(oc["visual.ln_pre.bias"])
+    oc["text.token_embedding.weight"] = np.zeros((4, 4), np.float32)  # dropped
+    p_timm, _ = convert_vit(timm_sd)
+    p_oc, _ = convert_vit_openclip(oc)
+    _assert_trees_equal(p_timm, p_oc)
+
+
+def test_converters_refuse_silent_key_drops():
+    """Converter completeness (round-2 verdict #3c): an unexpected source
+    tensor must raise, never vanish."""
+    from orbit_tpu.models.convert import convert_vit_npz, convert_vit_openclip
+
+    sd = fake_timm_efficientnet_b0()
+    sd["blocks.0.0.bn1.running_median"] = sd["blocks.0.0.bn1.running_mean"]
+    with pytest.raises(ValueError, match="bn leaf"):
+        convert_extractor(sd, "efficientnet_b0")
+
+    vit = fake_timm_vit_b_32()
+    vit["blocks.0.attn.rel_pos"] = np.zeros((3,), np.float32)
+    with pytest.raises(ValueError):
+        convert_extractor(vit, "vit_b_32")
+
+    _, npz, oc = _vit_tensors()
+    npz["Transformer/mystery"] = np.zeros((2,), np.float32)
+    with pytest.raises(ValueError, match="npz"):
+        convert_vit_npz(npz)
+    oc["visual.mystery"] = np.zeros((2,), np.float32)
+    with pytest.raises(ValueError, match="open_clip"):
+        convert_vit_openclip(oc)
+
+
+def test_convert_extractor_dispatches_on_layout():
+    from orbit_tpu.models.convert import convert_extractor as ce
+
+    timm_sd, npz, oc = _vit_tensors()
+    _assert_trees_equal(ce(npz, "vit_s_32")[0], ce(timm_sd, "vit_s_32")[0])
+    p_oc, _ = ce(oc, "vit_b_32_clip")
+    assert "norm_pre" in p_oc

@@ -226,3 +226,129 @@ def test_attach_frame_history():
 def test_get_batch_indices():
     assert get_batch_indices(0, 10, 4) == (0, 4)
     assert get_batch_indices(2, 10, 4) == (8, 10)
+
+
+# -------------------------------------------------- queue epoch ordering ----
+def _order_queue(root, num_shards=1, shard_index=0, num_tasks=3):
+    from orbit_tpu.data.queues import UserEpisodicDatasetQueue
+    q = UserEpisodicDatasetQueue(
+        root, "max", 15, ("max", "max"), (2, 1), ("clean", "clutter"), 4,
+        ("uniform", "random"), 1, 32, "imagenet",
+        num_tasks=num_tasks, shuffle=True, seed=7, prefetch=0,
+        num_shards=num_shards, shard_index=shard_index)
+    q.loader.load_task = lambda plan: plan  # skip pixel decode
+    return q
+
+
+def test_epoch_order_independent_of_plan_rng(orbit_fixture_tree):
+    """Task ordering must be a pure function of (seed, epoch): the
+    plan-sampling rng consumes a data-dependent number of draws, so sharing
+    one stream would desynchronise multi-host shuffles after epoch 1
+    (advisor finding, round 2)."""
+    q1 = _order_queue(orbit_fixture_tree)
+    q2 = _order_queue(orbit_fixture_tree)
+    q2.rng.random()  # desynchronise the plan-sampling rng streams
+    for _ in range(3):  # identical ordering every epoch, not just the first
+        order1 = [p.task_id for p in q1.get_tasks()]
+        order2 = [p.task_id for p in q2.get_tasks()]
+        assert order1 == order2
+
+
+def test_shard_blocks_stay_disjoint_across_epochs(orbit_fixture_tree):
+    """Multi-host shards must partition every epoch's shuffled task order:
+    each (user, task) trains on exactly one host, every epoch."""
+    shards = [_order_queue(orbit_fixture_tree, num_shards=2, shard_index=i)
+              for i in range(2)]
+    for _ in range(3):
+        ids = [[p.task_id for p in q.get_tasks()] for q in shards]
+        # exact disjoint cover: together the shards yield each user's tasks
+        # exactly num_tasks times, with no overlap or drop
+        assert sorted(ids[0] + ids[1]) == sorted(["P001"] * 3 + ["P002"] * 3)
+        assert len(ids[0]) == len(ids[1]) == 3
+
+
+# ------------------------------------------------- bucket-overflow cap ----
+def _synthetic_index(n_objects=15, n_videos=15, n_frames=220):
+    """In-memory index (no files): worst-case un-capped train config."""
+    from orbit_tpu.data.index import DatasetIndex
+    idx = DatasetIndex(root="/none", mode="train", context_type="clean",
+                       target_type="clutter", frame_size=224)
+    idx.users = ["P900"]
+    idx.user2objs = {"P900": list(range(n_objects))}
+    vid_id = 0
+    for obj in range(n_objects):
+        idx.obj2user[obj] = "P900"
+        idx.obj2name[obj] = f"obj{obj}"
+        idx.obj2vids[obj] = {"context": [], "target": []}
+        for vtype in ("context", "target"):
+            for v in range(n_videos):
+                vp = f"/none/P900/obj{obj}/{vtype}/V{v}"
+                idx.obj2vids[obj][vtype].append(vp)
+                idx.video2id[vp] = vid_id
+                idx.vid2frames[vp] = [f"{vp}/f{f:05d}.jpg" for f in range(n_frames)]
+                vid_id += 1
+    return idx
+
+
+def test_worst_case_task_capped_to_largest_bucket():
+    """Un-capped way 15 x 15 target videos x 200 clips = 45,000 clips used to
+    hard-crash pad_episode (round-2 verdict, weak #2); plan-time proportional
+    subsampling must bound both sets to the largest bucket, keeping every
+    video represented."""
+    from orbit_tpu.data.episodes import SIZE_BUCKETS, pad_episode
+    from orbit_tpu.data.sampling import MAX_CLIPS_PER_SET
+
+    idx = _synthetic_index()
+    cfg = SamplingConfig(way_method="max", object_cap="max",
+                         shot_method_context="max", shot_method_target="max",
+                         clip_method_context="max", clip_method_target="random_200",
+                         test_mode=False)
+    rng = random.Random(0)
+    plan = sample_task_plan(idx, list(range(15)), "P900", cfg, rng)
+    assert len(plan.target_paths) == MAX_CLIPS_PER_SET == SIZE_BUCKETS[-1]
+    assert len(plan.context_paths) <= MAX_CLIPS_PER_SET
+    # proportional: all 15 classes and all 225 target videos survive
+    assert sorted(set(plan.target_labels.tolist())) == list(range(15))
+    assert len(set(plan.target_video_ids.tolist())) == 15 * 15
+    # padding no longer raises
+    counts = np.bincount(plan.target_labels, minlength=15)
+    assert counts.min() > 0 and abs(counts.max() - counts.min()) <= 15 * 2
+
+    # determinism: same seed -> same subsample
+    plan2 = sample_task_plan(idx, list(range(15)), "P900", cfg, random.Random(0))
+    assert (plan.target_paths == plan2.target_paths).all()
+
+
+def test_in_bucket_tasks_unchanged_by_cap():
+    """The cap must be a no-op for tasks already inside the largest bucket."""
+    idx = _synthetic_index(n_objects=2, n_videos=2, n_frames=60)
+    cfg = SamplingConfig(way_method="max", object_cap="max",
+                         shot_method_context="max", shot_method_target="max",
+                         clip_method_context="max", clip_method_target="max",
+                         clip_length=1, test_mode=False)
+    p1 = sample_task_plan(idx, [0, 1], "P900", cfg, random.Random(3))
+    assert len(p1.context_paths) == 2 * 2 * 60  # untouched
+
+
+def test_frame_cache_lru_eviction(orbit_fixture_tree):
+    """LRU, not first-N pinning: with a cap smaller than user 1's working
+    set, user 2's frames must still get cache hits (round-2 verdict #10)."""
+    idx = build_index(orbit_fixture_tree)
+    loader = FrameLoader(frame_size=32, frame_norm_method="imagenet", num_threads=1)
+    loader.enable_cache(max_frames=8)
+    videos = sorted(idx.vid2frames)
+    user1 = [p for v in videos[:4] for p in idx.vid2frames[v][:4]]  # 16 > cap
+    user2 = [p for p in idx.vid2frames[videos[-1]][:6]]
+
+    for p in user1:
+        loader.load_frame(p)
+    hits, misses = loader.cache_stats(reset=True)
+    assert hits == 0 and misses == len(user1)
+
+    # user 2 streams its frames twice (the CLU-VE 50-tasks-per-user pattern):
+    # second pass must hit even though the cache filled during user 1
+    for p in user2 + user2:
+        loader.load_frame(p)
+    hits, misses = loader.cache_stats(reset=True)
+    assert hits == len(user2) and misses == len(user2)
+    assert len(loader._cache) <= 8

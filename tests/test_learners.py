@@ -285,3 +285,17 @@ def test_finetuner_actually_learns(orbit_root, tmp_path):
     preds = np.asarray(logits)[:n].argmax(-1)
     acc = (preds == np.asarray(ep.context_labels)[:n]).mean()
     assert acc > 0.8, f"context accuracy after finetuning too low: {acc}"
+
+
+def test_eval_data_parallel_mismatch_warns_loudly(orbit_root, tmp_path):
+    """--data_parallel beyond the visible device count must not degrade
+    silently at eval (round-2 verdict #9): the learner proceeds single-chip
+    but says so in the log."""
+    from orbit_tpu.learners import SingleStepLearner
+
+    args = make_args(orbit_root, str(tmp_path / "ckpt"), mode="test",
+                     data_parallel="64")  # 8 virtual CPU devices available
+    learner = SingleStepLearner(args)
+    logged = open(os.path.join(learner.checkpoint_dir, "log.txt")).read()
+    assert "WARNING" in logged and "--data_parallel 64" in logged
+    learner.logfile.close()

@@ -1,0 +1,112 @@
+"""Quantify the documented LITE BatchNorm deviation (round-2 verdict #6).
+
+Reference semantics (model/few_shot_recognisers.py:176-183,415-437): during
+LITE meta-training with ``learn_extractor`` the extractor is in train() for
+EVERY forward, so BN running stats update on (1) the no-grad context cache
+pass, (2) each per-batch LITE grad-subset recompute, and (3) each target
+batch predict. Our scan-based LITE (learners/steps.py) updates running stats
+once per task, from the cache pass only.
+
+This test runs the same episode stream through both update schedules and
+bounds the drift of the running statistics. Both schedules are EMAs (momentum
+0.9) of batch moments drawn from the same data distribution, so they share a
+fixed point; the reference's extra per-batch updates only change the
+effective step count. The assert pins that after 30 tasks the running means
+differ by <10% of a running std and the variances by <10% relative.
+"""
+import numpy as np
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def tiny_args(**over):
+    base = dict(tasks_per_batch=1, learn_extractor=True, with_lite=True,
+                num_lite_samples=4, batch_size=8)
+    base.update(over)
+    return SimpleNamespace(**base)
+
+
+def episode(rng, n_ctx=8, n_tgt=8, way=3, frame_size=32):
+    mk = lambda n: rng.standard_normal((n, 1, frame_size, frame_size, 3)).astype(np.float32)
+    return {
+        "context_clips": mk(n_ctx),
+        "context_labels": (np.arange(n_ctx) % way).astype(np.int32),
+        "context_mask": np.ones((n_ctx,), np.float32),
+        "class_mask": (np.arange(16) < way).astype(np.float32),
+        "target_clips": mk(n_tgt),
+        "target_labels": (np.arange(n_tgt) % way).astype(np.int32),
+        "target_mask": np.ones((n_tgt,), np.float32),
+    }
+
+
+def test_lite_bn_running_stat_drift_is_bounded():
+    from orbit_tpu.learners import steps as steps_lib
+    from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", classifier="proto",
+        batch_size=8, learn_extractor=True, num_lite_samples=4)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=32)
+    args = tiny_args()
+    task_fn = steps_lib.build_train_task_lite(rec, args)
+
+    rng = np.random.default_rng(0)
+    episodes = [episode(rng) for _ in range(30)]
+    keys = jax.random.split(jax.random.PRNGKey(1), len(episodes))
+
+    # ---- (a) our schedule: one update per task, from the cache pass ----
+    ours = variables
+    for ep, k in zip(episodes, keys):
+        _, _, _, new_stats = task_fn(ours, {k2: jnp.asarray(v) for k2, v in ep.items()}, k)
+        ours = {**ours, "batch_stats": {**ours["batch_stats"], "extractor": new_stats}}
+
+    # ---- (b) reference-faithful schedule: cache pass + per-batch subset +
+    # per-batch target updates, sequential EMA ----
+    @jax.jit
+    def stat_pass(variables, clips, mask):
+        _, new_stats = rec.embed_clips(variables, clips, None, train=True,
+                                       with_grad=False, collect_stats=True,
+                                       clip_mask=mask)
+        return new_stats
+
+    ref = variables
+    for ep, k in zip(episodes, keys):
+        ctx = jnp.asarray(ep["context_clips"])
+        ctx_mask = jnp.asarray(ep["context_mask"])
+        # the same LITE subset our scan body draws (steps.py lite_grad_subset)
+        noise = jax.random.uniform(jax.random.split(k, 1)[0], (ctx.shape[0],))
+        order = np.asarray(jnp.argsort(noise - ctx_mask * 10.0))[:4]
+
+        def thread(stats, clips, mask):
+            v = {**ref, "batch_stats": {**ref["batch_stats"], "extractor": stats}}
+            return stat_pass(v, clips, mask)
+
+        stats = ref["batch_stats"]["extractor"]
+        stats = thread(stats, ctx, ctx_mask)                       # cache pass
+        stats = thread(stats, ctx[order], ctx_mask[order])         # grad subset
+        stats = thread(stats, jnp.asarray(ep["target_clips"]),     # target batch
+                       jnp.asarray(ep["target_mask"]))
+        ref = {**ref, "batch_stats": {**ref["batch_stats"], "extractor": stats}}
+
+    # ---- drift bound: means in units of the running std (the scale BN
+    # actually normalises by), variances relative ----
+    def leaves(tree):
+        return {jax.tree_util.keystr(p): np.asarray(v, np.float64)
+                for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    la, lb = leaves(ours["batch_stats"]["extractor"]), leaves(ref["batch_stats"]["extractor"])
+    worst_mean, worst_var = 0.0, 0.0
+    for name, a in la.items():
+        b = lb[name]
+        if name.endswith("['mean']"):
+            std = np.sqrt(lb[name[: -len("['mean']")] + "['var']"] + 1e-3)
+            worst_mean = max(worst_mean, float(np.max(np.abs(a - b) / std)))
+        else:
+            worst_var = max(worst_var, float(np.max(np.abs(a - b) / np.maximum(b, 1e-3))))
+    print(f"LITE BN drift after 30 tasks: mean {worst_mean:.4f} std-units, "
+          f"var {worst_var:.4f} relative")
+    assert worst_mean < 0.10, worst_mean
+    assert worst_var < 0.10, worst_var

@@ -116,3 +116,20 @@ def test_learn_extractor_bn_stats_padded_equals_unpadded():
     np.testing.assert_allclose(np.asarray(st_pad["head"]["weight"])[:way],
                                np.asarray(st_real["head"]["weight"])[:way],
                                rtol=2e-4, atol=1e-4)
+
+
+def test_variance_precision_high_offset():
+    """Two-pass variance: a large common offset must not destroy the
+    variance of the residual noise (the one-pass E[x^2]-E[x]^2 form loses
+    ~8 digits at offset 1e4 in float32 — advisor finding, round 2)."""
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal((64, 4, 4, 8)).astype(np.float32)
+    x = (1.0e4 + noise).astype(np.float32)
+    bn = MaskedBatchNorm(momentum=0.0, epsilon=1e-5)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        use_running_average=False)
+    _, st = bn.apply(variables, jnp.asarray(x), use_running_average=False,
+                     mask=jnp.ones((64,)), mutable=["batch_stats"])
+    got = np.asarray(st["batch_stats"]["var"])
+    expect = x.astype(np.float64).reshape(-1, 8).var(axis=0, ddof=1)
+    np.testing.assert_allclose(got, expect, rtol=5e-3)

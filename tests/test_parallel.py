@@ -271,3 +271,108 @@ def test_stack_group_repads_mixed_buckets():
     # masks reflect the original valid counts
     assert batch["context_mask"][0].sum() == 10
     assert batch["target_mask"][1].sum() == 40
+
+
+def test_train_epoch_streams_with_bounded_residency(tiny_model):
+    """train_epoch must CONSUME the task stream — never materialise the
+    epoch (round-2 verdict: a full epoch of padded 224px episodes is
+    hundreds of GB). Feed a counting generator through a dp=4 epoch with a
+    leftover partial group and assert (a) peak resident task dicts stays at
+    the device-group size, (b) final params equal the serial
+    accumulate-then-update over the same tasks."""
+    import weakref
+
+    import optax
+    from orbit_tpu.learners import steps as steps_lib
+    from orbit_tpu.parallel import EpisodeDataParallel, make_mesh
+    from orbit_tpu.utils.optim import init_optimizer
+
+    rec, variables = tiny_model
+    dp, n_tasks = 4, 10  # 2 full groups + a 2-task leftover (dummy lanes)
+    args = tiny_args(tasks_per_batch=16, learn_extractor=False, data_parallel=dp)
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    tx, opt_state = init_optimizer(params, args)
+    edp = EpisodeDataParallel(rec, args, tx, mesh=make_mesh(dp))
+
+    rng = np.random.default_rng(9)
+    tasks = [synthetic_episode(rng) for _ in range(n_tasks)]
+
+    class Tracked(dict):
+        """dict subclass so episodes are weakref-able."""
+
+    state = {"live": 0, "peak": 0}
+
+    def _finalized():
+        state["live"] -= 1
+
+    def stream():
+        for t in tasks:
+            tracked = Tracked(t)
+            weakref.finalize(tracked, _finalized)
+            state["live"] += 1
+            state["peak"] = max(state["peak"], state["live"])
+            yield tracked
+
+    rng_state = {"key": jax.random.PRNGKey(3)}
+
+    def next_rng():
+        rng_state["key"], sub = jax.random.split(rng_state["key"])
+        return sub
+
+    new_params, _, _, losses = edp.train_epoch(
+        params, rest, opt_state, stream(), next_rng)
+    assert len(losses) == n_tasks and np.isfinite(losses).all()
+    # one group in flight (+1 for the element being created): never the epoch
+    assert state["peak"] <= dp + 1, state["peak"]
+
+    task_fn = steps_lib.build_train_task(rec, args)
+    serial = None
+    for ep in tasks:
+        g, _, _, _ = task_fn(variables, {k: jnp.asarray(v) for k, v in ep.items()},
+                             jax.random.PRNGKey(0))
+        serial = g if serial is None else jax.tree_util.tree_map(jnp.add, serial, g)
+    updates, _ = tx.update(serial, opt_state, params)
+    expect = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_dummy_lane_bn_stats_excluded(tiny_model):
+    """BN running stats from a dummy fill-in lane (zeroed target_mask) must
+    not count: the mesh stat average over [real, dummy-copy-of-real2] must
+    weight only the real lanes (advisor finding, round 2)."""
+    from orbit_tpu.parallel import EpisodeDataParallel, make_mesh
+    from orbit_tpu.utils.optim import init_optimizer
+
+    rec, variables = tiny_model
+    args = tiny_args(data_parallel=2)
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    tx, _ = init_optimizer(params, args)
+    edp = EpisodeDataParallel(rec, args, tx, mesh=make_mesh(2))
+
+    rng = np.random.default_rng(21)
+    a, b = synthetic_episode(rng), synthetic_episode(rng)
+    rngs = jax.random.split(jax.random.PRNGKey(2), 2)
+
+    # both lanes real -> stats = mean(stats_a, stats_b)
+    batch_real = {k: np.stack([a[k], b[k]]) for k in a}
+    _, _, _, stats_both = edp.batch_grads(params, rest, batch_real, rngs)
+
+    # lane 2 is a dummy copy of b -> stats must equal lane-a-only stats,
+    # NOT be dragged toward b's
+    dummy = dict(b, target_mask=np.zeros_like(b["target_mask"]))
+    batch_dummy = {k: np.stack([a[k], dummy[k]]) for k in a}
+    _, _, _, stats_dummy = edp.batch_grads(params, rest, batch_dummy, rngs)
+
+    batch_solo = {k: np.stack([a[k], a[k]]) for k in a}
+    _, _, _, stats_solo = edp.batch_grads(params, rest, batch_solo, rngs)
+
+    ref = np.asarray(stats_solo["bn1"]["mean"])
+    got = np.asarray(stats_dummy["bn1"]["mean"])
+    both = np.asarray(stats_both["bn1"]["mean"])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    assert np.abs(both - ref).max() > 0  # the two-real case does differ
