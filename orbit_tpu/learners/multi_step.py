@@ -284,6 +284,12 @@ class MultiStepLearner:
         self.variables, used = maybe_load_params(path, self.variables, self.logfile)
         evaluator = self.test_evaluator
         evaluator.set_base_params(self.variables["params"])
+        if args.compute_dtype == "bfloat16":
+            # bf16 extractor storage for eval (see single_step.test); the
+            # FineTuner's inner loop trains only head+film params, so the
+            # frozen extractor tree is safe to cast
+            from orbit_tpu.models.precision import cast_extractor_params
+            self.variables = cast_extractor_params(self.variables)
         num_context_clips_per_task, num_target_clips_per_task = [], []
         # shard-local total (see single_step._run_eval_protocol)
         num_total_tasks = self.test_queue.num_local_tasks()

@@ -324,6 +324,11 @@ class SingleStepLearner:
         self.variables, used = maybe_load_params(path, self.variables, self.logfile)
         evaluator = self.test_evaluator
         evaluator.set_base_params(self.variables["params"])
+        if self.args.compute_dtype == "bfloat16":
+            # store extractor weights in bf16 for eval: bit-identical compute
+            # (every use-site casts to bf16 anyway), half the weight streaming
+            from orbit_tpu.models.precision import cast_extractor_params
+            self.variables = cast_extractor_params(self.variables)
 
         self._run_eval_protocol(self.test_queue, evaluator,
                                 self.args.num_test_tasks, self.args.test_set,

@@ -15,15 +15,15 @@ the Flax param tree, and the caller overrides those leaves before ``apply``
 (reference: model/few_shot_recognisers.py:115).
 
 TPU notes: all heavy math is batched matmul (MXU-friendly); attention uses
-``jax.nn.dot_product_attention``; ``dtype`` selects the compute precision
-(bfloat16 recommended) while params stay float32.
+the fused tiny-sequence kernel (orbit_tpu/ops/tiny_attention.py — Pallas on
+TPU, ``jax.nn.dot_product_attention`` elsewhere); ``dtype`` selects the
+compute precision (bfloat16 recommended) while params stay float32.
 """
 from __future__ import annotations
 
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -46,16 +46,19 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"  # tiny_attention: Pallas on TPU, XLA elsewhere
 
     @nn.compact
     def __call__(self, x):
+        from orbit_tpu.ops.tiny_attention import tiny_attention
+
         n, s, _ = x.shape
-        head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(n, s, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = jax.nn.dot_product_attention(q, k, v)  # (n, s, h, hd), fused on TPU
-        out = out.reshape(n, s, self.dim)
+        # fused qkv layout (3, H, hd) over the last axis — exactly what
+        # tiny_attention expects; S=50-token attention is HBM-bound under
+        # XLA (transposes + materialised scores), the Pallas kernel keeps
+        # scores/softmax/AV in VMEM (orbit_tpu/ops/tiny_attention.py)
+        out = tiny_attention(qkv, self.num_heads, impl=self.attn_impl)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -65,11 +68,13 @@ class EncoderBlock(nn.Module):
     mlp_ratio: float
     ln_eps: float
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
+        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype,
+                          attn_impl=self.attn_impl, name="attn")(h)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h)
         return x
@@ -86,6 +91,7 @@ class ViT(nn.Module):
     pre_norm: bool = False       # CLIP-style ln_pre after patch embed
     ln_eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"      # "auto" | "pallas" | "xla" (ops.tiny_attention)
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -116,7 +122,7 @@ class ViT(nn.Module):
         for i in range(self.depth):
             x = EncoderBlock(
                 self.dim, self.num_heads, self.mlp_ratio, self.ln_eps,
-                dtype=self.dtype, name=f"blocks_{i}",
+                dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
             )(x)
 
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(x)

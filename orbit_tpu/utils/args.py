@@ -130,12 +130,16 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Write a jax.profiler device trace for the run here "
                              "(view in TensorBoard/Perfetto).")
-    parser.add_argument("--batch_videos", action="store_true",
+    parser.add_argument("--batch_videos", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="Predict all of a task's target videos in one device "
                              "batch when they share a padded length (the standard "
                              "protocol pads every clutter video to 200 frames): one "
                              "dispatch per task instead of per video. Per-frame "
-                             "inference time is then the batch average.")
+                             "inference time is then the batch average. On by "
+                             "default (numerically identical to per-video dispatch, "
+                             "tests/test_learners.py); --no-batch_videos restores "
+                             "per-video dispatch.")
     parser.add_argument("--frame_cache", type=int, default=0,
                         help="Memoise up to N decoded frames across tasks in the "
                              "test/validation loaders. The CLU-VE protocol samples 50 "

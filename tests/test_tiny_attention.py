@@ -1,0 +1,94 @@
+"""Parity + gradient tests for the fused tiny-sequence attention kernel.
+
+The Pallas path runs in interpreter mode here (CPU test host); the real-TPU
+compiled kernel was additionally parity-checked against the XLA path on a
+v5e (rel-max-err 2.3e-3 in bf16 — see PERF.md).  The XLA reference itself is
+checked against an independent hand-rolled numpy softmax attention, so the
+two implementations cannot share a bug.
+
+Reference behaviour: timm ViT attention as used by the reference's backbones
+(model/feature_extractors.py:49-64).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orbit_tpu.ops.tiny_attention import tiny_attention, xla_attention
+
+
+def numpy_attention(qkv: np.ndarray, num_heads: int) -> np.ndarray:
+    """Independent oracle: plain numpy softmax attention."""
+    n, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    parts = qkv.reshape(n, s, 3, num_heads, hd).astype(np.float64)
+    q, k, v = parts[:, :, 0], parts[:, :, 1], parts[:, :, 2]
+    out = np.empty((n, s, num_heads, hd))
+    for b in range(n):
+        for h in range(num_heads):
+            scores = q[b, :, h] @ k[b, :, h].T / np.sqrt(hd)
+            scores -= scores.max(axis=-1, keepdims=True)
+            p = np.exp(scores)
+            p /= p.sum(axis=-1, keepdims=True)
+            out[b, :, h] = p @ v[b, :, h]
+    return out.reshape(n, s, d)
+
+
+def _qkv(n=4, s=50, d=128, key=0):
+    return jax.random.normal(jax.random.PRNGKey(key), (n, s, 3 * d),
+                             jnp.float32) * 0.5
+
+
+def test_xla_matches_numpy_oracle():
+    qkv = _qkv()
+    ours = np.asarray(xla_attention(qkv, num_heads=2))
+    oracle = numpy_attention(np.asarray(qkv), num_heads=2)
+    np.testing.assert_allclose(ours, oracle, atol=2e-5)
+
+
+def test_pallas_interpret_matches_xla():
+    qkv = _qkv()
+    p = np.asarray(tiny_attention(qkv, 2, impl="interpret"))
+    x = np.asarray(tiny_attention(qkv, 2, impl="xla"))
+    np.testing.assert_allclose(p, x, atol=2e-5)
+
+
+def test_pallas_pads_ragged_batch():
+    # n=5 is not a multiple of the 8-row batch block: exercises the pad path
+    qkv = _qkv(n=5)
+    p = np.asarray(tiny_attention(qkv, 2, impl="interpret"))
+    x = np.asarray(tiny_attention(qkv, 2, impl="xla"))
+    assert p.shape == (5, 50, 128)
+    np.testing.assert_allclose(p, x, atol=2e-5)
+
+
+def test_gradients_flow_through_pallas_path():
+    """custom_vjp backward (XLA recompute) == direct XLA gradients."""
+    qkv = _qkv(n=2, s=10, d=64)
+
+    def loss(fn):
+        return lambda t: (fn(t) ** 2).sum()
+
+    g_p = jax.grad(loss(lambda t: tiny_attention(t, 2, impl="interpret")))(qkv)
+    g_x = jax.grad(loss(lambda t: tiny_attention(t, 2, impl="xla")))(qkv)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=2e-5)
+
+
+def test_vit_forward_identical_across_impls():
+    from orbit_tpu.models.backbones.vit import ViT
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 224, 224, 3), jnp.float32)
+    outs = {}
+    for impl in ("xla", "interpret"):
+        m = ViT(patch_size=32, dim=64, depth=2, num_heads=2, attn_impl=impl)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        outs[impl] = np.asarray(jax.jit(m.apply)(params, x))
+    np.testing.assert_allclose(outs["interpret"], outs["xla"], atol=1e-4)
+
+
+def test_bad_shapes_raise():
+    with pytest.raises(ValueError):
+        tiny_attention(jnp.zeros((1, 4, 100)), 3)  # 100 not divisible by 3
+    with pytest.raises(ValueError):
+        tiny_attention(jnp.zeros((1, 4, 96)), 5)  # 32 not divisible by 5 heads
