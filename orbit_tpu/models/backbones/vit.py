@@ -42,23 +42,41 @@ class MlpBlock(nn.Module):
         return x
 
 
+class QkvParams(nn.Module):
+    """Parameter-only holder with ``nn.Dense``'s exact {kernel, bias} tree
+    and initialisers — the fused attention op consumes the params directly
+    (the qkv projection GEMM runs inside the Pallas kernel), but checkpoints
+    and the timm weight converter see an unchanged ``qkv`` Dense layout."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
-    attn_impl: str = "auto"  # tiny_attention: Pallas on TPU, XLA elsewhere
+    attn_impl: str = "auto"  # fused Pallas on TPU, XLA elsewhere
 
     @nn.compact
     def __call__(self, x):
-        from orbit_tpu.ops.tiny_attention import tiny_attention
+        from orbit_tpu.ops.tiny_attention import fused_qkv_attention
 
-        n, s, _ = x.shape
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        # fused qkv layout (3, H, hd) over the last axis — exactly what
-        # tiny_attention expects; S=50-token attention is HBM-bound under
-        # XLA (transposes + materialised scores), the Pallas kernel keeps
-        # scores/softmax/AV in VMEM (orbit_tpu/ops/tiny_attention.py)
-        out = tiny_attention(qkv, self.num_heads, impl=self.attn_impl)
+        # S=50-token attention is HBM-bound under XLA (head transposes +
+        # materialised scores round-trip HBM every layer); the fused op runs
+        # qkv projection -> blocked scores -> softmax -> AV in one Pallas
+        # kernel so the (B,S,3D) qkv tensor never touches HBM
+        # (orbit_tpu/ops/tiny_attention.py; measured numbers in PERF.md)
+        kernel, bias = QkvParams(self.dim, 3 * self.dim, name="qkv")()
+        out = fused_qkv_attention(x.astype(self.dtype), kernel, bias,
+                                  self.num_heads, impl=self.attn_impl)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

@@ -7,9 +7,10 @@ model's FLOPs but, measured on a v5e, ~40% of its wall time under plain XLA:
 the (B,S,H,hd)->(B,H,S,hd) transposes, the materialised (B*H,S,S) score
 tensor, and the softmax each round-trip HBM, and none of it amortises over a
 50-token sequence. This kernel reads the raw qkv projection once per batch
-tile, runs per-head scores -> softmax -> AV entirely in VMEM, and writes the
-attention output once. No flash-attention style online softmax is needed:
-S=50 scores for a whole batch tile fit in VMEM trivially.
+tile, runs per-head blocked scores -> softmax -> AV entirely in VMEM (see
+``_attn_kernel`` for the row-stacking trick that keeps the MXU filled), and
+writes the attention output once. No flash-attention style online softmax is
+needed: the scores for a whole batch tile fit in VMEM trivially.
 
 Layout contract: ``qkv`` is the raw output of the fused qkv Dense,
 shape (B, S, 3*D), whose columns are ordered [q | k | v] with heads
@@ -39,27 +40,48 @@ _BLOCK_B = 8
 
 
 def _attn_kernel(num_heads: int, qkv_ref, out_ref):
+    """Blocked attention: per head, the grid cell's nb batch rows are
+    stacked into ONE (nb*S, hd) operand and attention runs as a single fat
+    (nb*S, nb*S) masked matmul pair.
+
+    Per-(row, head) 50x64 matmuls under-fill the 128x128 MXU and pay per-issue
+    overhead 96x per cell; stacking trades nb-fold redundant FLOPs (the
+    cross-row score blocks, masked to exp(-1e30)=0 by a block-diagonal bias)
+    for MXU-shaped 400x64 operands. Measured e2e on ViT-B/32 @512 (v5e):
+    60.8 -> 55.5 ms/it vs the per-(row,head) loop, 71.6 ms/it for XLA sdpa.
+    Softmax rows stay per-batch-row exactly: masked columns contribute
+    exp(-1e30) = 0 to both the normaliser and the AV products.
+    """
     nb, s, d3 = qkv_ref.shape
+    _attend_blocked(qkv_ref[...].reshape(nb * s, d3), num_heads, nb, s, out_ref)
+
+
+def _attend_blocked(qkv, num_heads: int, nb: int, s: int, out_ref):
+    """Shared body: blocked masked attention on a flat (nb*s, 3d) qkv."""
+    gs, d3 = qkv.shape
     d = d3 // 3
     hd = d // num_heads
     scale = 1.0 / math.sqrt(hd)
-    for b in range(nb):
-        for h in range(num_heads):
-            q = qkv_ref[b, :, h * hd:(h + 1) * hd]
-            k = qkv_ref[b, :, d + h * hd:d + (h + 1) * hd]
-            v = qkv_ref[b, :, 2 * d + h * hd:2 * d + (h + 1) * hd]
-            # scores[s1, s2] = <q[s1], k[s2]> : contract hd with hd (NT form,
-            # no explicit transpose), f32 accumulation on the MXU.
-            scores = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            p = jnp.exp(scores - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            out = jnp.dot(p.astype(qkv_ref.dtype), v,
-                          preferred_element_type=jnp.float32)
-            out_ref[b, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 0) // s
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 1) // s
+    bias = jnp.where(row_blk == col_blk, 0.0, -1e30).astype(jnp.float32)
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        # scores[s1, s2] = <q[s1], k[s2]> : contract hd with hd (NT form,
+        # no explicit transpose), f32 accumulation on the MXU.
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(qkv.dtype), v,
+                      preferred_element_type=jnp.float32)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out.reshape(nb, s, hd).astype(
+            out_ref.dtype)
 
 
 def _pallas_attention(qkv: jax.Array, num_heads: int,
@@ -128,3 +150,109 @@ def tiny_attention(qkv: jax.Array, num_heads: int, *,
     if impl in ("pallas", "interpret"):
         return _fused_attention(qkv, num_heads, impl == "interpret")
     return xla_attention(qkv, num_heads)
+
+
+# --------------------------------------------------------------------------
+# Fused qkv-projection + attention: the qkv tensor never touches HBM.
+#
+# At batch 512 the (B,S,3D) qkv tensor is 118 MB; under the split op the qkv
+# Dense writes it to HBM and the attention kernel reads it back — ~236 MB of
+# traffic per encoder layer plus two fusion boundaries. Folding the
+# projection GEMM ((nb*S, D) @ (D, 3D), MXU-shaped) into the attention
+# kernel removes all of it: measured e2e on ViT-B/32 @512 (v5e) this takes
+# 55.5 -> 44.8 ms/it (80.5 -> 99.8 TF/s, 50.6% MFU). The weight block uses
+# a constant index_map so Mosaic keeps it VMEM-resident across grid cells.
+# --------------------------------------------------------------------------
+
+
+def _fused_qkv_kernel(num_heads: int, x_ref, w_ref, b_ref, out_ref):
+    nb, s, d = x_ref.shape
+    x = x_ref[...].reshape(nb * s, d)
+    qkv = (jax.lax.dot_general(
+        x, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0][None, :]).astype(
+            x_ref.dtype)
+    _attend_blocked(qkv, num_heads, nb, s, out_ref)
+
+
+def _pallas_qkv_attention(x, kernel, bias, num_heads: int,
+                          interpret: bool = False):
+    n, s, d = x.shape
+    nb = min(_BLOCK_B, n)
+    pad = (-n) % nb
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    # bias rides in as an (8, 3D) broadcast: Mosaic wants block sublane
+    # dims >= 8 (CLAUDE.md pallas notes)
+    b8 = jnp.broadcast_to(bias.astype(x.dtype)[None, :], (8, bias.shape[0]))
+    out = pl.pallas_call(
+        functools.partial(_fused_qkv_kernel, num_heads),
+        out_shape=jax.ShapeDtypeStruct((n + pad, s, d), x.dtype),
+        grid=((n + pad) // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(kernel.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b8.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, kernel.astype(x.dtype), b8)
+    return out[:n] if pad else out
+
+
+def xla_qkv_attention(x, kernel, bias, num_heads: int):
+    """XLA reference: Dense-equivalent qkv projection + attention. Exactly
+    the math of ``nn.Dense(3D)(x)`` followed by ``xla_attention``."""
+    qkv = (jnp.dot(x, kernel.astype(x.dtype))
+           + bias.astype(x.dtype)[None, None, :])
+    return xla_attention(qkv, num_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_qkv(x, kernel, bias, num_heads: int, interpret: bool = False):
+    return _pallas_qkv_attention(x, kernel, bias, num_heads, interpret)
+
+
+def _fused_qkv_fwd(x, kernel, bias, num_heads, interpret):
+    return (_pallas_qkv_attention(x, kernel, bias, num_heads, interpret),
+            (x, kernel, bias))
+
+
+def _fused_qkv_bwd(num_heads, interpret, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, kk, bb: xla_qkv_attention(xx, kk, bb, num_heads),
+        x, kernel, bias)
+    return vjp(g)
+
+
+_fused_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def fused_qkv_attention(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                        num_heads: int, *, impl: str = "auto") -> jax.Array:
+    """qkv projection + multi-head attention in one op.
+
+    x: (B, S, D) tokens; kernel: (D, 3D); bias: (3D,) — the exact params of
+    the timm-layout fused qkv Dense. Returns (B, S, D) attention output
+    (pre-proj). Gradients flow to x, kernel AND bias (XLA recompute in the
+    backward), so meta-training with ``learn_extractor`` is unchanged.
+
+    impl: "auto" (fused Pallas on TPU, XLA elsewhere), "fused", "interpret"
+    (fused kernel, interpreter mode — CPU-testable), or "xla".
+    """
+    d = x.shape[-1]
+    if kernel.shape != (d, 3 * d) or bias.shape != (3 * d,):
+        raise ValueError(f"qkv params {kernel.shape}/{bias.shape} do not "
+                         f"match token dim {d}")
+    if d % num_heads:
+        raise ValueError(f"dim {d} not divisible by {num_heads} heads")
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("fused", "interpret", "pallas"):
+        return _fused_qkv(x, kernel, bias, num_heads, impl == "interpret")
+    return xla_qkv_attention(x, kernel, bias, num_heads)

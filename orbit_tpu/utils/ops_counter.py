@@ -97,6 +97,12 @@ class OpsCounter:
         ``intercept + slope * n_valid`` — the reference's actual-shape thop
         accounting (reference utils/ops_counter.py:79-85).
 
+        ViT note: the fused Pallas attention core (ops/tiny_attention.py) is
+        a custom call XLA's cost analysis cannot see, so its S^2 score/AV
+        matmuls (~1% of a ViT forward) are not charged — which matches the
+        reference exactly: thop's hooks count nn.Linear modules only and
+        skip timm's functional attention matmuls too.
+
         The two analysis sizes are capped at ``max_rows`` (the feature-
         extraction chunk size): beyond one chunk the program wraps the
         backbone in ``lax.map``, whose body XLA cost analysis counts ONCE

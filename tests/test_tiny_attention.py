@@ -92,3 +92,58 @@ def test_bad_shapes_raise():
         tiny_attention(jnp.zeros((1, 4, 100)), 3)  # 100 not divisible by 3
     with pytest.raises(ValueError):
         tiny_attention(jnp.zeros((1, 4, 96)), 5)  # 32 not divisible by 5 heads
+
+
+# ------------------------------------------------- fused qkv + attention ----
+
+
+def _xkb(n=5, s=50, d=128, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    x = jax.random.normal(ks[0], (n, s, d), jnp.float32) * 0.5
+    kernel = jax.random.normal(ks[1], (d, 3 * d), jnp.float32) * 0.05
+    bias = jax.random.normal(ks[2], (3 * d,), jnp.float32) * 0.02
+    return x, kernel, bias
+
+
+def test_fused_qkv_matches_numpy_oracle():
+    from orbit_tpu.ops.tiny_attention import fused_qkv_attention
+
+    x, kernel, bias = _xkb()
+    ours = np.asarray(fused_qkv_attention(x, kernel, bias, 2, impl="interpret"))
+    qkv = np.asarray(x) @ np.asarray(kernel) + np.asarray(bias)
+    oracle = numpy_attention(qkv, num_heads=2)
+    np.testing.assert_allclose(ours, oracle, atol=5e-5)
+
+
+def test_fused_qkv_interpret_matches_xla():
+    from orbit_tpu.ops.tiny_attention import fused_qkv_attention
+
+    x, kernel, bias = _xkb(key=7)
+    p = np.asarray(fused_qkv_attention(x, kernel, bias, 2, impl="interpret"))
+    r = np.asarray(fused_qkv_attention(x, kernel, bias, 2, impl="xla"))
+    np.testing.assert_allclose(p, r, atol=5e-5)
+
+
+def test_fused_qkv_gradients_all_args():
+    """custom_vjp backward must deliver grads to x, kernel AND bias that
+    match direct XLA differentiation (LITE meta-training path)."""
+    from orbit_tpu.ops.tiny_attention import fused_qkv_attention
+
+    x, kernel, bias = _xkb(n=2, s=10, d=64, key=3)
+
+    def loss(impl):
+        return lambda xx, kk, bb: (
+            fused_qkv_attention(xx, kk, bb, 2, impl=impl) ** 2).sum()
+
+    g_p = jax.grad(loss("interpret"), argnums=(0, 1, 2))(x, kernel, bias)
+    g_x = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, kernel, bias)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_fused_qkv_bad_params_raise():
+    from orbit_tpu.ops.tiny_attention import fused_qkv_attention
+
+    with pytest.raises(ValueError):
+        fused_qkv_attention(jnp.zeros((1, 4, 64)), jnp.zeros((64, 128)),
+                            jnp.zeros((128,)), 2)
