@@ -25,6 +25,7 @@ accelerates the forward (the entire CLU-VE eval, and the fwd of training).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -32,6 +33,25 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Trace-time override used by utils/ops_counter.flops_of: XLA cost analysis
+# cannot see inside a Pallas custom call, so MACs accounting re-lowers the
+# program with the XLA attention path (which matches the reference's
+# validated thop numbers). Set only via force_impl().
+_IMPL_OVERRIDE: str | None = None
+
+
+@contextlib.contextmanager
+def force_impl(impl: str):
+    """Force every tiny_attention/fused_qkv_attention trace inside the
+    context to the given impl (used for FLOPs analysis; see module note)."""
+    global _IMPL_OVERRIDE
+    prev = _IMPL_OVERRIDE
+    _IMPL_OVERRIDE = impl
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE = prev
 
 # Batch rows per grid cell. 8 frames x 50 tokens x 2304 cols (bf16) is a
 # ~1.8 MB qkv block + 0.6 MB out block: comfortably inside VMEM with double
@@ -145,6 +165,8 @@ def tiny_attention(qkv: jax.Array, num_heads: int, *,
     d3 = qkv.shape[-1]
     if d3 % 3 or (d3 // 3) % num_heads:
         raise ValueError(f"qkv last dim {d3} not divisible into 3x{num_heads} heads")
+    if _IMPL_OVERRIDE is not None:
+        impl = _IMPL_OVERRIDE
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl in ("pallas", "interpret"):
@@ -251,6 +273,8 @@ def fused_qkv_attention(x: jax.Array, kernel: jax.Array, bias: jax.Array,
                          f"match token dim {d}")
     if d % num_heads:
         raise ValueError(f"dim {d} not divisible by {num_heads} heads")
+    if _IMPL_OVERRIDE is not None:
+        impl = _IMPL_OVERRIDE
     if impl == "auto":
         impl = "fused" if jax.default_backend() == "tpu" else "xla"
     if impl in ("fused", "interpret", "pallas"):

@@ -24,7 +24,15 @@ def flops_of(fn: Callable, *args, static_argnums=(), **kwargs) -> float:
     underreports by the trip count. Analyse at single-chunk sizes and
     extrapolate instead of trusting a looped program's number.
     """
-    lowered = jax.jit(fn, static_argnums=static_argnums).lower(*args, **kwargs)
+    from orbit_tpu.ops.tiny_attention import force_impl
+
+    # trace with the XLA attention path: cost analysis cannot see inside a
+    # Pallas custom call, and the fused kernel hides the qkv projection GEMM
+    # (~30% of a ViT's MACs — which the reference's thop DOES count). The
+    # fresh jit below has its own trace, so the execution path's compiled
+    # Pallas program is untouched.
+    with force_impl("xla"):
+        lowered = jax.jit(fn, static_argnums=static_argnums).lower(*args, **kwargs)
     try:
         analysis = lowered.cost_analysis()
     except Exception:
@@ -97,11 +105,13 @@ class OpsCounter:
         ``intercept + slope * n_valid`` — the reference's actual-shape thop
         accounting (reference utils/ops_counter.py:79-85).
 
-        ViT note: the fused Pallas attention core (ops/tiny_attention.py) is
-        a custom call XLA's cost analysis cannot see, so its S^2 score/AV
-        matmuls (~1% of a ViT forward) are not charged — which matches the
-        reference exactly: thop's hooks count nn.Linear modules only and
-        skip timm's functional attention matmuls too.
+        ViT note: the fused Pallas attention (ops/tiny_attention.py) is a
+        custom call invisible to cost analysis, so ``flops_of`` re-lowers
+        with the XLA attention path (force_impl) — restoring the same
+        accounting that was validated against the notebook oracle scale
+        (tests/test_macs_oracle_scale.py): qkv/proj GEMMs charged like
+        thop's nn.Linear hooks, plus the S^2 attention matmuls (~1%) that
+        thop skips.
 
         The two analysis sizes are capped at ``max_rows`` (the feature-
         extraction chunk size): beyond one chunk the program wraps the

@@ -147,3 +147,26 @@ def test_fused_qkv_bad_params_raise():
     with pytest.raises(ValueError):
         fused_qkv_attention(jnp.zeros((1, 4, 64)), jnp.zeros((64, 128)),
                             jnp.zeros((128,)), 2)
+
+
+def test_macs_analysis_sees_through_the_kernel():
+    """XLA cost analysis cannot count inside a Pallas custom call; flops_of
+    must re-lower with the XLA attention so the qkv projection GEMM (~30% of
+    a ViT's MACs, counted by the reference's thop) is charged."""
+    from orbit_tpu.ops.tiny_attention import fused_qkv_attention, force_impl
+    from orbit_tpu.utils.ops_counter import flops_of
+
+    x, kernel, bias = _xkb(n=8, s=16, d=64, key=11)
+
+    def fused(xx):
+        return fused_qkv_attention(xx, kernel, bias, 2, impl="interpret")
+
+    def ref(xx):
+        return fused_qkv_attention(xx, kernel, bias, 2, impl="xla")
+
+    del force_impl  # flops_of applies it internally
+    qkv_gemm_flops = 2 * 8 * 16 * 64 * (3 * 64)
+    assert flops_of(ref, x) >= qkv_gemm_flops
+    # flops_of internally forces the XLA path, so the fused program is
+    # charged identically to the reference implementation
+    assert flops_of(fused, x) == flops_of(ref, x)
