@@ -29,24 +29,11 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-class MlpBlock(nn.Module):
-    hidden_dim: int
-    out_dim: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
-        return x
-
-
-class QkvParams(nn.Module):
+class DenseParams(nn.Module):
     """Parameter-only holder with ``nn.Dense``'s exact {kernel, bias} tree
-    and initialisers — the fused attention op consumes the params directly
-    (the qkv projection GEMM runs inside the Pallas kernel), but checkpoints
-    and the timm weight converter see an unchanged ``qkv`` Dense layout."""
+    and initialisers — the fused ops consume the params directly (the GEMMs
+    run inside Pallas kernels), but checkpoints and the timm weight
+    converter see an unchanged Dense layout."""
 
     in_dim: int
     features: int
@@ -57,6 +44,32 @@ class QkvParams(nn.Module):
                             (self.in_dim, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
+
+
+class LnParams(nn.Module):
+    """Parameter-only holder matching ``nn.LayerNorm``'s {scale, bias} tree
+    (FiLM tags these leaves — adapted values flow into the fused kernels)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class MlpParams(nn.Module):
+    """fc1/fc2 param holders under the ``mlp`` scope (Dense-layout tree)."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = DenseParams(self.in_dim, self.hidden, name="fc1")()
+        w2, b2 = DenseParams(self.hidden, self.in_dim, name="fc2")()
+        return w1, b1, w2, b2
 
 
 class Attention(nn.Module):
@@ -74,7 +87,7 @@ class Attention(nn.Module):
         # qkv projection -> blocked scores -> softmax -> AV in one Pallas
         # kernel so the (B,S,3D) qkv tensor never touches HBM
         # (orbit_tpu/ops/tiny_attention.py; measured numbers in PERF.md)
-        kernel, bias = QkvParams(self.dim, 3 * self.dim, name="qkv")()
+        kernel, bias = DenseParams(self.dim, 3 * self.dim, name="qkv")()
         out = fused_qkv_attention(x.astype(self.dtype), kernel, bias,
                                   self.num_heads, impl=self.attn_impl)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -90,12 +103,20 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from orbit_tpu.ops.mlp_block import fused_mlp_block
+
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, dtype=self.dtype,
                           attn_impl=self.attn_impl, name="attn")(h)
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
-        x = x + MlpBlock(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h)
-        return x
+        # the MLP half-block (norm2 -> fc1 -> gelu -> fc2 -> +x) runs as one
+        # Pallas kernel on TPU: the (B,S,4D) hidden tensor never touches HBM
+        # (orbit_tpu/ops/mlp_block.py; measured numbers in PERF.md)
+        ln_scale, ln_bias = LnParams(self.dim, name="norm2")()
+        w1, b1, w2, b2 = MlpParams(self.dim, int(self.dim * self.mlp_ratio),
+                                   name="mlp")()
+        return fused_mlp_block(x.astype(self.dtype), ln_scale, ln_bias,
+                               w1, b1, w2, b2, ln_eps=self.ln_eps,
+                               impl=self.attn_impl)
 
 
 class ViT(nn.Module):

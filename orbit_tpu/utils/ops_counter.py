@@ -27,10 +27,17 @@ def flops_of(fn: Callable, *args, static_argnums=(), **kwargs) -> float:
     from orbit_tpu.ops.tiny_attention import force_impl
 
     # trace with the XLA attention path: cost analysis cannot see inside a
-    # Pallas custom call, and the fused kernel hides the qkv projection GEMM
-    # (~30% of a ViT's MACs — which the reference's thop DOES count). The
+    # Pallas custom call, and the fused kernels hide the qkv/MLP GEMMs
+    # (~most of a ViT's MACs — which the reference's thop DOES count). The
     # fresh jit below has its own trace, so the execution path's compiled
     # Pallas program is untouched.
+    #
+    # ``fn`` is usually ALREADY jit-wrapped (learners/steps.py), and jit of
+    # an executed jit INLINES the inner cache's jaxpr instead of re-tracing,
+    # which would bake the Pallas path in regardless of force_impl (found as
+    # a 2-8x MACs skew whenever analysis ran after the driver's warmup
+    # execution) — so unwrap to the underlying Python function first.
+    fn = getattr(fn, "__wrapped__", fn)
     with force_impl("xla"):
         lowered = jax.jit(fn, static_argnums=static_argnums).lower(*args, **kwargs)
     try:
@@ -150,7 +157,23 @@ class OpsCounter:
         if n_hi == n_lo:
             return flops_hi
         flops_lo = at_rows(n_lo)
+        if flops_hi <= flops_lo:
+            # program FLOPs must grow with rows; a non-monotonic pair means
+            # one analysis is broken (e.g. a cached Pallas trace hiding
+            # kernels — the jit-unwrap in flops_of guards the known case).
+            # Never extrapolate a negative slope silently.
+            import warnings
+            warnings.warn(
+                f"MACs analysis for '{key}' is non-monotonic in rows "
+                f"({n_lo}->{flops_lo:.3g}, {n_hi}->{flops_hi:.3g}); charging "
+                f"a per-row estimate from the low point instead.")
+            return flops_lo * (n_valid / float(n_lo))
         slope = (flops_hi - flops_lo) / float(n_hi - n_lo)
+        import os as _os
+        if _os.environ.get("ORBIT_DEBUG_MACS"):
+            print(f"[macs-debug] key={key} n_padded={n_padded} n_hi={n_hi} "
+                  f"n_lo={n_lo} n_valid={n_valid} F_hi={flops_hi/1e6:.1f}M "
+                  f"F_lo={flops_lo/1e6:.1f}M charge={(flops_hi + slope * (n_valid - n_hi))/1e6:.1f}M")
         return flops_hi + slope * (n_valid - n_hi)
 
     def compute_macs(self, key: str, fn: Callable, *args,

@@ -170,3 +170,24 @@ def test_macs_analysis_sees_through_the_kernel():
     # flops_of internally forces the XLA path, so the fused program is
     # charged identically to the reference implementation
     assert flops_of(fused, x) == flops_of(ref, x)
+
+
+def test_macs_analysis_unaffected_by_prior_jit_execution():
+    """The driver executes the jitted (Pallas) personalise BEFORE analysing
+    its MACs; jit-of-an-executed-jit inlines the cached Pallas trace, which
+    used to bypass force_impl and hide the kernel GEMMs (2-8x MACs skew).
+    flops_of must unwrap the jit and re-trace."""
+    import jax as _jax
+
+    from orbit_tpu.ops.tiny_attention import fused_qkv_attention
+    from orbit_tpu.utils.ops_counter import flops_of
+
+    x, kernel, bias = _xkb(n=8, s=16, d=64, key=13)
+
+    @_jax.jit
+    def fused(xx):
+        return fused_qkv_attention(xx, kernel, bias, 2, impl="interpret")
+
+    clean = flops_of(fused, x)
+    np.asarray(fused(x))  # execute: populates the inner jit cache
+    assert flops_of(fused, x) == clean
