@@ -4,16 +4,18 @@
 Measures frames/sec of the personalised predict path (ProtoNets head,
 224px, bfloat16 matmuls / float32 head) on the default JAX device for every
 backbone the framework ships (reference testing footprint:
-/root/reference/README.md:181), and compares the flagship EfficientNet-B0
-against REAL PyTorch-CPU inference (the reference's supported test platform;
+/root/reference/README.md:181), and compares the headline ViT-B/32 — the
+backbone of the reference's best published accuracy (BASELINE.md) — against
+REAL PyTorch-CPU inference (the reference's supported test platform;
 BASELINE.md north star: >=10x PyTorch-CPU query-frame throughput per chip).
-The PyTorch baseline runs the independent hand-rolled torch B0 forward from
-tests/test_torch_parity.py — the same network the parity suite validates.
+The PyTorch baselines run the independent hand-rolled torch forwards from
+tests/test_torch_parity.py — the same networks the parity suite validates.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <B0 device frames/sec>, "unit": "frames/sec",
-   "vs_baseline": <B0 fps / PyTorch-CPU B0 fps>, "extra": {per-backbone fps
-   and achieved TFLOP/s (from XLA cost analysis), pytorch baseline}}
+  {"metric": ..., "value": <ViT-B/32 device frames/sec>, "unit": "frames/sec",
+   "vs_baseline": <ViT-B/32 fps / PyTorch-CPU ViT-B/32 fps>, "extra":
+   {per-backbone fps, achieved TFLOP/s and MFU (FLOPs via the XLA
+   re-lowering — see program_flops), pytorch baselines incl. B0}}
 """
 from __future__ import annotations
 
@@ -65,8 +67,7 @@ def measure_fps(device, predict, variables, head, class_mask, clips,
     (serialised on-device), force one readback at the end, and difference two
     run lengths to cancel the constant dispatch+RTT overhead.
 
-    Returns (frames/sec, program_flops) — the latter from XLA cost analysis,
-    for achieved-TFLOP/s reporting.
+    Returns frames/sec.
     """
     import jax
 
@@ -84,23 +85,40 @@ def measure_fps(device, predict, variables, head, class_mask, clips,
         cm = jax.device_put(class_mask, device)
         c = jax.device_put(clips, device)
         fn = jax.jit(predict)
-        compiled = fn.lower(v, h, c, cm).compile()
-        analysis = compiled.cost_analysis()
-        if isinstance(analysis, list):
-            analysis = analysis[0]
-        flops = float(analysis.get("flops", 0.0))
         for _ in range(warmup):
             np.asarray(fn(v, h, c, cm)[0, 0])
         n1, n2 = max(1, iters // 5), iters
         dt = run(n2) - run(n1)
-    fps = clips.shape[0] * (n2 - n1) / max(dt, 1e-9)
-    return fps, flops
+    return clips.shape[0] * (n2 - n1) / max(dt, 1e-9)
 
 
-def torch_cpu_b0_fps(frames: int = 32, runs: int = 5):
-    """REAL PyTorch-CPU EfficientNet-B0 inference throughput — the
-    reference's test platform (README.md:181). Uses the independent torch
-    forward from tests/test_torch_parity.py.
+def program_flops(predict, variables, head, clips, class_mask) -> float:
+    """FLOPs of one predict dispatch, for achieved-TFLOP/s reporting.
+
+    NOT read off the executed program: the fused Pallas kernels
+    (ops/tiny_attention.py, ops/mlp_block.py) are custom calls whose FLOPs
+    XLA cost analysis cannot see — the compiled ViT program under-reports
+    ~5x. ``flops_of`` re-lowers with the XLA implementation forced
+    (force_impl), the same accounting the MACs counter validates against
+    the notebook oracle scale; lowering on the CPU backend avoids a second
+    multi-second TPU compile (FLOP counts are backend-independent).
+    """
+    import jax
+
+    from orbit_tpu.utils.ops_counter import flops_of
+
+    abstract = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype),
+        (variables, head, clips, class_mask))
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return flops_of(predict, *abstract)
+
+
+def torch_cpu_fps(name: str, frames: int = 32, runs: int = 5):
+    """REAL PyTorch-CPU inference throughput — the reference's test platform
+    (README.md:181). Uses the independent torch forwards from
+    tests/test_torch_parity.py (the same networks the parity suite validates).
 
     Median of ``runs`` timed passes of ``frames`` frames each, with the IQR
     and torch thread count recorded — a point measurement moved ~10% between
@@ -119,14 +137,19 @@ def torch_cpu_b0_fps(frames: int = 32, runs: int = 5):
         "torch_parity", os.path.join(repo_root, "tests", "test_torch_parity.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    sd = mod.fake_timm_efficientnet_b0()
+    if name == "efficientnet_b0":
+        sd, fwd = mod.fake_timm_efficientnet_b0(), mod.torch_efficientnet_b0_forward
+    elif name == "vit_b_32":
+        sd, fwd = mod.fake_timm_vit_b_32(), mod.torch_vit_b32_forward
+    else:
+        raise ValueError(name)
     x = torch.randn(frames, 3, 224, 224)
     samples = []
     with torch.no_grad():
-        mod.torch_efficientnet_b0_forward(sd, x)  # warmup
+        fwd(sd, x)  # warmup
         for _ in range(runs):
             t0 = time.perf_counter()
-            mod.torch_efficientnet_b0_forward(sd, x)
+            fwd(sd, x)
             samples.append(frames / max(time.perf_counter() - t0, 1e-9))
     samples.sort()
     median = statistics.median(samples)
@@ -140,7 +163,7 @@ def main():
     device = jax.devices()[0]
     on_accelerator = device.platform != "cpu"
     extra = {}
-    b0_fps = 0.0
+    fps_by_name = {}
 
     # Per-backbone dispatch batch, swept on the v5e (2026-08): B0 peaks at
     # 128 (21.7k f/s / 18.1 TF/s; larger batches LOSE — 256: 20.8k, 512:
@@ -159,37 +182,50 @@ def main():
         # one retry keeps a flake from zeroing the whole round's benchmark
         for attempt in (0, 1):
             try:
-                fps, flops = measure_fps(device, predict, variables, head,
-                                         class_mask, clips,
-                                         iters=40 if on_accelerator else 3)
+                fps = measure_fps(device, predict, variables, head,
+                                  class_mask, clips,
+                                  iters=40 if on_accelerator else 3)
+                flops = program_flops(predict, variables, head, clips,
+                                      class_mask)
                 break
             except Exception as e:
                 if attempt:
                     extra[f"{name}_error"] = f"{type(e).__name__}"
                     fps, flops = 0.0, 0.0
         tflops = fps / batch * flops / 1e12
+        fps_by_name[name] = fps
         extra[f"{name}_fps"] = round(fps, 1)
         extra[f"{name}_tflops"] = round(tflops, 2)
         if on_accelerator:  # v5e peak ~197 TFLOP/s bf16 (PERF.md)
             extra[f"{name}_mfu_pct"] = round(100.0 * tflops / 197.0, 1)
-        if name == "efficientnet_b0":
-            b0_fps = fps
 
-    # REAL PyTorch-CPU reference point (median-of-5, 32-frame passes).
+    # Headline backbone: ViT-B/32 — the backbone of the reference's best
+    # published accuracy (ProtoNets-cosine 75.38, BASELINE.md) and the one
+    # the fused Pallas kernels target (round-3 verdict, next #4). On the CPU
+    # smoke path only B0 is measured, so fall back to it there.
+    headline = "vit_b_32" if "vit_b_32" in fps_by_name else "efficientnet_b0"
+    headline_fps = fps_by_name.get(headline, 0.0)
+
+    # REAL PyTorch-CPU reference points (median-of-5, 32-frame passes).
     vs_baseline = 1.0
     if on_accelerator:
         try:
-            cpu_fps, cpu_iqr, cpu_threads = torch_cpu_b0_fps()
-            extra["pytorch_cpu_efficientnet_b0_fps"] = round(cpu_fps, 2)
-            extra["pytorch_cpu_b0_fps_iqr"] = round(cpu_iqr, 2)
+            for cpu_name in ("vit_b_32", "efficientnet_b0"):
+                cpu_fps, cpu_iqr, cpu_threads = torch_cpu_fps(cpu_name)
+                extra[f"pytorch_cpu_{cpu_name}_fps"] = round(cpu_fps, 2)
+                extra[f"pytorch_cpu_{cpu_name}_fps_iqr"] = round(cpu_iqr, 2)
+                if cpu_name == headline:
+                    vs_baseline = headline_fps / cpu_fps
+                elif fps_by_name.get(cpu_name):
+                    extra[f"{cpu_name}_vs_pytorch_cpu"] = round(
+                        fps_by_name[cpu_name] / cpu_fps, 2)
             extra["pytorch_cpu_threads"] = cpu_threads
-            vs_baseline = b0_fps / cpu_fps
         except Exception:
             vs_baseline = 0.0
 
     print(json.dumps({
-        "metric": "clu_ve_query_fps_efficientnet_b0_224px_bf16",
-        "value": round(b0_fps, 2),
+        "metric": f"clu_ve_query_fps_{headline}_224px_bf16",
+        "value": round(headline_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 2),
         "extra": extra,
