@@ -16,6 +16,13 @@ def test_getting_started_script_runs(orbit_fixture_tree, tmp_path):
     os.symlink(os.path.realpath(orbit_fixture_tree), root / "validation")
 
     env = dict(os.environ)
+    # Hermetic CPU run: a TPU plugin registered via a sitecustomize on
+    # PYTHONPATH overrides JAX_PLATFORMS=cpu (CLAUDE.md), and grabbing a
+    # busy single-tenant TPU fails the test spuriously — strip it.
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "getting_started.py"),
          "--data_path", str(root), "--num_tasks", "1",
