@@ -69,11 +69,15 @@ class MaskedBatchNorm(nn.Module):
                 var = (centered * centered).mean(axis=reduce_axes)
             else:
                 w = mask.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+                valid = w > 0
                 count = w.sum() * row_elems
                 safe = jnp.maximum(count, 1.0)
-                mean = (xf * w).sum(axis=reduce_axes) / safe
-                centered = xf - mean
-                var = (centered * centered * w).sum(axis=reduce_axes) / safe
+                # select-then-sum (not multiply-by-w): a padded row that has
+                # already overflowed to inf upstream would turn w*inf into
+                # NaN and poison the statistics of the REAL rows
+                mean = jnp.where(valid, xf, 0.0).sum(axis=reduce_axes) / safe
+                centered = jnp.where(valid, xf - mean, 0.0)
+                var = (centered * centered).sum(axis=reduce_axes) / safe
                 # an all-padding batch (count == 0) must normalise with the
                 # RUNNING stats, not the degenerate mean=0/var=0 — otherwise
                 # every layer amplifies activations by ~1/sqrt(eps) and a
@@ -93,6 +97,16 @@ class MaskedBatchNorm(nn.Module):
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
+        if not use_running_average and mask is not None:
+            # Padded rows are normalised with the REAL rows' statistics; when
+            # a 1x1-spatial chunk has a single real row its batch var is
+            # exactly 0 and rsqrt(eps) amplifies the garbage pad rows ~32x
+            # PER LAYER — a 32px EfficientNet overflows them to inf within
+            # one stage, and inf anywhere (masked one-hot matmuls, masked CE)
+            # becomes 0*inf = NaN. Pad rows are dead by the design invariant
+            # (every consumer is mask-aware), so pin them to zero.
+            w = mask.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+            y = jnp.where(w > 0, y, 0.0)
         return y.astype(self.dtype)
 
 

@@ -133,3 +133,61 @@ def test_variance_precision_high_offset():
     got = np.asarray(st["batch_stats"]["var"])
     expect = x.astype(np.float64).reshape(-1, 8).var(axis=0, ddof=1)
     np.testing.assert_allclose(got, expect, rtol=5e-3)
+
+
+def test_single_real_row_at_1x1_spatial_stays_finite():
+    """Round-3 regression: a chunk with ONE real row at 1x1 spatial has
+    batch var exactly 0, so each BN amplified the garbage padded rows by
+    rsqrt(eps) ~ 32x — a deep net overflowed them to inf within a stage and
+    0*inf = NaN then poisoned the REAL rows' statistics (observed as NaN
+    losses in episode-DP training on real fixture tasks). Padded rows must
+    now be pinned to zero and the moments must be select-then-sum."""
+    import flax.linen as nn
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x, mask):
+            for i in range(12):
+                # a dense mixing layer between BNs stands in for convs: it
+                # spreads any blow-up across channels like conv_pw does
+                x = nn.Dense(x.shape[-1], use_bias=False,
+                             kernel_init=nn.initializers.normal(1.0),
+                             name=f"mix{i}")(x)
+                x = MaskedBatchNorm(name=f"bn{i}")(
+                    x, use_running_average=False, mask=mask)
+            return x
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 1, 1, 32)) * 50, jnp.float32)
+    mask = jnp.asarray([1, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
+    m = Stack()
+    v = m.init(jax.random.PRNGKey(0), x, mask)
+    y, mut = m.apply(v, x, mask, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y, np.float64)).all()
+    for leaf in jax.tree_util.tree_leaves(mut):
+        assert np.isfinite(np.asarray(leaf, np.float64)).all()
+    # padded rows are pinned to zero
+    np.testing.assert_array_equal(np.asarray(y)[1:], 0.0)
+
+
+def test_masked_stats_immune_to_inf_in_padded_rows():
+    """Even if a padded row arrives already inf (overflowed upstream), the
+    real rows' statistics and outputs must be unaffected: the moments use
+    select-then-sum, not multiply-by-mask (w * inf = NaN)."""
+    rng = np.random.default_rng(1)
+    xr = rng.standard_normal((3, 4, 4, 8)).astype(np.float32)
+    x_clean = jnp.asarray(np.concatenate([xr, np.zeros((2, 4, 4, 8), np.float32)]))
+    x_inf = jnp.asarray(np.concatenate(
+        [xr, np.full((2, 4, 4, 8), np.inf, np.float32)]))
+    mask = jnp.asarray([1, 1, 1, 0, 0], jnp.float32)
+    bn = MaskedBatchNorm()
+    v = bn.init(jax.random.PRNGKey(0), x_clean, use_running_average=False,
+                mask=mask)
+    y_clean, mut_clean = bn.apply(v, x_clean, use_running_average=False,
+                                  mask=mask, mutable=["batch_stats"])
+    y_inf, mut_inf = bn.apply(v, x_inf, use_running_average=False,
+                              mask=mask, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_inf)[:3], np.asarray(y_clean)[:3])
+    for a, b in zip(jax.tree_util.tree_leaves(mut_inf),
+                    jax.tree_util.tree_leaves(mut_clean)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
