@@ -15,11 +15,15 @@ Mosaic has no erf primitive, so the kernel evaluates the Abramowitz &
 Stegun 7.1.26 polynomial (measured max abs err ~2e-6 in f32 — ~1000x below
 bf16 resolution; parity-tested against jax.nn.gelu(approximate=False)).
 
-Gradients: ``jax.custom_vjp`` recomputes the XLA reference in the backward,
-so meta-training (LITE ``learn_extractor``) differentiates the exact math;
-the Pallas path accelerates every forward. FiLM note: norm2's scale/bias
-are FiLM-tagged leaves — they arrive here as values, so task-adapted films
-flow through the kernel unchanged.
+Gradients: ``jax.custom_vjp``. On TPU the backward is a second Pallas
+kernel (``_mlp_bwd_kernel``) that recomputes LN/fc1/gelu in VMEM and emits
+dx per batch block plus all six parameter grads via resident f32 VMEM
+accumulators (constant index_map outputs revisited on every consecutive
+grid step), so the (B,S,4D) hidden tensor stays out of HBM in training too.
+``tiny_attention._PALLAS_BWD = False`` falls back to differentiating the
+XLA reference recompute. FiLM note: norm2's scale/bias are FiLM-tagged
+leaves — they arrive here as values, so task-adapted films flow through the
+kernel unchanged and receive gradients (dgamma/dbeta) from the backward.
 """
 from __future__ import annotations
 
@@ -30,6 +34,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from orbit_tpu.ops.tiny_attention import (align_vma,
+                                           match_cotangent_vma,
+                                           out_struct)
 
 _BLOCK_B = 8
 
@@ -84,7 +92,8 @@ def _pallas_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, ln_eps),
-        out_shape=jax.ShapeDtypeStruct((n + pad, s, d), x.dtype),
+        out_shape=out_struct((n + pad, s, d), x.dtype, x, ln_scale,
+                             ln_bias, w1, b1, w2, b2),
         grid=((n + pad) // nb,),
         in_specs=[
             pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
@@ -96,9 +105,9 @@ def _pallas_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
         out_specs=pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, row8(ln_scale, jnp.float32), row8(ln_bias, jnp.float32),
-      w1.astype(x.dtype), row8(b1, jnp.float32),
-      w2.astype(x.dtype), row8(b2, jnp.float32))
+    )(*align_vma(x, row8(ln_scale, jnp.float32), row8(ln_bias, jnp.float32),
+                 w1.astype(x.dtype), row8(b1, jnp.float32),
+                 w2.astype(x.dtype), row8(b2, jnp.float32)))
     return out[:n] if pad else out
 
 
@@ -120,6 +129,125 @@ def xla_mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
     return y.astype(x.dtype)
 
 
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _mlp_bwd_kernel(ln_eps, x_ref, g_ref, gam_ref, bet_ref, w1_ref, b1_ref,
+                    w2_ref, dx_ref, dgam_ref, dbet_ref, dw1_ref, db1_ref,
+                    dw2_ref, db2_ref):
+    """Backward of the fused half-block. Recomputes LN -> fc1 -> gelu for
+    this batch block in VMEM; parameter grads accumulate in resident f32
+    blocks (constant index_map, zeroed on grid step 0). fc2's bias grad is
+    just colsum(g) so w2's bias never rides in."""
+    nb, s, d = x_ref.shape
+    gs = nb * s
+    xf = x_ref[...].reshape(gs, d).astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = xc * rstd
+    gam = gam_ref[0][None, :]
+    xn = (xhat * gam + bet_ref[0][None, :]).astype(x_ref.dtype)
+    hpre = (jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0][None, :])
+    erf = _erf_poly(hpre * (1.0 / math.sqrt(2.0)))
+    hg = (0.5 * hpre * (1.0 + erf)).astype(x_ref.dtype)
+
+    gf = g_ref[...].reshape(gs, d).astype(jnp.float32)
+    gb = gf.astype(x_ref.dtype)
+    # fc2: y = hg @ w2 + b2 (+ residual)
+    dhg = jax.lax.dot_general(gb, w2_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(hg, gb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(gf, axis=0)
+    # gelu'(h) = Phi(h) + h * phi(h)
+    phi = jnp.exp(-0.5 * hpre * hpre) * _INV_SQRT_2PI
+    dhpre = dhg * (0.5 * (1.0 + erf) + hpre * phi)
+    db1 = jnp.sum(dhpre, axis=0)
+    dhb = dhpre.astype(x_ref.dtype)
+    dxn = jax.lax.dot_general(dhb, w1_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw1 = jax.lax.dot_general(xn, dhb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dgam = jnp.sum(dxn * xhat, axis=0)
+    dbet = jnp.sum(dxn, axis=0)
+    # LayerNorm backward (per row)
+    dxhat = dxn * gam
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2) + gf  # + residual branch
+    dx_ref[...] = dx.reshape(nb, s, d).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dgam_ref, dbet_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    dw1_ref[...] += dw1
+    dw2_ref[...] += dw2
+    dgam_ref[...] += jnp.broadcast_to(dgam[None, :], dgam_ref.shape)
+    dbet_ref[...] += jnp.broadcast_to(dbet[None, :], dbet_ref.shape)
+    db1_ref[...] += jnp.broadcast_to(db1[None, :], db1_ref.shape)
+    db2_ref[...] += jnp.broadcast_to(db2[None, :], db2_ref.shape)
+
+
+def _pallas_mlp_bwd(x, ln_scale, ln_bias, w1, b1, w2, g, ln_eps,
+                    interpret=False):
+    n, s, d = x.shape
+    h4 = w1.shape[1]
+    nb = min(_BLOCK_B, n)
+    pad = (-n) % nb
+    def _os(shape, dtype):
+        return out_struct(shape, dtype, x, g, ln_scale, ln_bias, w1, b1, w2)
+    if pad:
+        # zero-padded rows: LN of a zero row is beta (nonzero), but the g
+        # rows are zero so dx/d-param contributions are exactly zero except
+        # via colsums of dxn — and dxn = f(dhg) = f(g-row) = 0 as well.
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
+
+    def row8(t, dt):
+        return jnp.broadcast_to(t.astype(dt)[None, :], (8, t.shape[0]))
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    blk = lambda: pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dx, dgam8, dbet8, dw1, db18, dw2, db28 = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, ln_eps),
+        out_shape=(
+            _os((n + pad, s, d), x.dtype),
+            _os((8, d), f32), _os((8, d), f32),
+            _os((d, h4), f32), _os((8, h4), f32),
+            _os((h4, d), f32), _os((8, d), f32),
+        ),
+        grid=((n + pad) // nb,),
+        in_specs=[
+            blk(), blk(),
+            const((8, d)), const((8, d)),
+            const(w1.shape), const((8, h4)),
+            const(w2.shape),
+        ],
+        out_specs=(
+            blk(),
+            const((8, d)), const((8, d)),
+            const(w1.shape), const((8, h4)),
+            const(w2.shape), const((8, d)),
+        ),
+        interpret=interpret,
+    )(*align_vma(x, g, row8(ln_scale, f32), row8(ln_bias, f32),
+                 w1.astype(x.dtype), row8(b1, f32), w2.astype(x.dtype)))
+    if pad:
+        dx = dx[:n]
+    return (dx, dgam8[0].astype(ln_scale.dtype), dbet8[0].astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db18[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db28[0])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
                interpret=False):
@@ -135,6 +263,13 @@ def _fused_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps, interpret):
 
 def _fused_mlp_bwd(ln_eps, interpret, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    from orbit_tpu.ops import tiny_attention as _ta
+    if _ta._PALLAS_BWD:
+        dx, dgam, dbet, dw1, db1, dw2, db2 = _pallas_mlp_bwd(
+            x, ln_scale, ln_bias, w1, b1, w2, g, ln_eps, interpret)
+        cts = (dx, dgam, dbet, dw1, db1, dw2, db2.astype(b2.dtype))
+        primals = (x, ln_scale, ln_bias, w1, b1, w2, b2)
+        return tuple(match_cotangent_vma(c, p) for c, p in zip(cts, primals))
     _, vjp = jax.vjp(
         lambda *a: xla_mlp_block(*a, ln_eps), x, ln_scale, ln_bias,
         w1, b1, w2, b2)

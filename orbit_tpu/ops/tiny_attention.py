@@ -18,10 +18,16 @@ contiguous inside each (i.e. the (3, H, hd) reshape order that both timm and
 ``orbit_tpu.models.backbones.vit.Attention`` use). Head slices are therefore
 static 64-aligned lane slices - no transposes anywhere.
 
-Gradients: the op carries a ``jax.custom_vjp`` whose backward recomputes
-attention with the XLA reference implementation and differentiates that, so
-meta-training through the backbone (LITE) works unchanged; the Pallas path
-accelerates the forward (the entire CLU-VE eval, and the fwd of training).
+Gradients: both ops carry a ``jax.custom_vjp``. On TPU the backward is a
+second Pallas kernel (``_fused_qkv_bwd_kernel``) that recomputes the qkv
+projection and softmax in VMEM and emits dx per batch block plus dW/db via
+the resident-accumulator pattern (constant ``index_map`` output revisited on
+every *consecutive* grid step — the one revisit order Mosaic defines), so
+the fat (B,S,3D) qkv and (B·H,S,S) score tensors never touch HBM in
+training either. Off TPU (and as the ``_PALLAS_BWD=False`` escape hatch)
+the backward recomputes the XLA reference implementation and differentiates
+that. Either way meta-training through the backbone (LITE) sees the exact
+reference math's gradients.
 """
 from __future__ import annotations
 
@@ -40,6 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 # validated thop numbers). Set only via force_impl().
 _IMPL_OVERRIDE: str | None = None
 
+# Escape hatch / A-B harness: when False, the custom_vjp backward of the
+# Pallas ops falls back to differentiating the XLA reference recompute
+# (the round-2 behaviour) instead of the fused Pallas backward kernels.
+_PALLAS_BWD: bool = True
+
 
 @contextlib.contextmanager
 def force_impl(impl: str):
@@ -57,6 +68,47 @@ def force_impl(impl: str):
 # ~1.8 MB qkv block + 0.6 MB out block: comfortably inside VMEM with double
 # buffering, large enough to amortise DMA issue overhead.
 _BLOCK_B = 8
+
+
+def out_struct(shape, dtype, *operands):
+    """ShapeDtypeStruct whose varying-mesh-axes set is the union of the
+    operands' — required for pallas_call outputs traced inside a
+    ``jax.shard_map`` with check_vma (episode-DP runs the kernels per-shard;
+    every output varies over exactly the axes its inputs do)."""
+    vma = frozenset()
+    for o in operands:
+        vma = vma | getattr(jax.typeof(o), "vma", frozenset())
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
+def align_vma(*arrays):
+    """pcast every array to the union of the group's varying-mesh-axes.
+    Inside shard_map, Pallas kernel bodies type-check primitives strictly
+    (a dot_general between a varying activation block and a replicated
+    weight block fails with mixed vma), so every pallas_call operand must
+    enter with identical vma. No-op outside shard_map."""
+    target = frozenset()
+    for a in arrays:
+        target = target | getattr(jax.typeof(a), "vma", frozenset())
+    out = []
+    for a in arrays:
+        extra = target - getattr(jax.typeof(a), "vma", frozenset())
+        out.append(jax.lax.pcast(a, tuple(sorted(extra)), to="varying")
+                   if extra else a)
+    return out
+
+
+def match_cotangent_vma(ct, primal):
+    """psum a custom_vjp cotangent over any mesh axes it varies on but its
+    primal does not. Inside ``shard_map``, replicated params (P()) reach the
+    kernels with vma=∅ while activations vary over the data axes; JAX's
+    replication-aware AD inserts the cross-device psum only when transposing
+    its own pbroadcast — an opaque custom_vjp backward IS the transpose, so
+    it must reduce the partial per-shard dW/db itself or the grads' out_spec
+    (P(), mesh-summed) fails to type-check. No-op outside shard_map."""
+    extra = (getattr(jax.typeof(ct), "vma", frozenset())
+             - getattr(jax.typeof(primal), "vma", frozenset()))
+    return jax.lax.psum(ct, tuple(sorted(extra))) if extra else ct
 
 
 def _attn_kernel(num_heads: int, qkv_ref, out_ref):
@@ -114,7 +166,7 @@ def _pallas_attention(qkv: jax.Array, num_heads: int,
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_attn_kernel, num_heads),
-        out_shape=jax.ShapeDtypeStruct((n + pad, s, d), qkv.dtype),
+        out_shape=out_struct((n + pad, s, d), qkv.dtype, qkv),
         grid=((n + pad) // nb,),
         in_specs=[pl.BlockSpec((nb, s, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -137,6 +189,95 @@ def xla_attention(qkv: jax.Array, num_heads: int) -> jax.Array:
     return out.reshape(n, s, d)
 
 
+def _attend_blocked_bwd(qkv, g, num_heads: int, s: int):
+    """Backward of ``_attend_blocked`` on a flat (gs, 3d) qkv with cotangent
+    g (gs, d): recomputes the blocked softmax in VMEM and returns
+    (dqkv_parts, db_parts) — per-head f32 column pieces in qkv column order
+    ([q heads | k heads | v heads]) plus their f32 column sums.
+
+    The block-diagonal mask makes the cross-batch-row score gradients exactly
+    zero (p = exp(-1e30) = 0 there, and ds = p * (...)), so the redundant
+    stacked FLOPs of the forward stay redundant-but-harmless here too.
+    """
+    gs, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 0) // s
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 1) // s
+    bias = jnp.where(row_blk == col_blk, 0.0, -1e30).astype(jnp.float32)
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        gh = g[:, h * hd:(h + 1) * hd]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(qkv.dtype)
+        # dv[j] = sum_i p[i,j] g[i]  (contract rows of p with rows of g)
+        dv = jax.lax.dot_general(pb, gh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dp[i,j] = <g[i], v[j]>
+        dp = jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = (ds * scale).astype(qkv.dtype)
+        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+        # dk[j] = sum_i ds[i,j] q[i]
+        dk = jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    parts = dqs + dks + dvs
+    return parts, [jnp.sum(t, axis=0) for t in parts]
+
+
+def _attn_bwd_kernel(num_heads: int, qkv_ref, g_ref, dqkv_ref):
+    nb, s, d3 = qkv_ref.shape
+    d = d3 // 3
+    gs = nb * s
+    parts, _ = _attend_blocked_bwd(qkv_ref[...].reshape(gs, d3),
+                                   g_ref[...].reshape(gs, d),
+                                   num_heads, s)
+    dqkv_ref[...] = jnp.concatenate(parts, axis=1).reshape(
+        nb, s, d3).astype(dqkv_ref.dtype)
+
+
+def _pallas_attention_bwd(qkv, g, num_heads: int, interpret: bool = False):
+    n, s, d3 = qkv.shape
+    d = d3 // 3
+    nb = min(_BLOCK_B, n)
+    pad = (-n) % nb
+    if pad:
+        # zero-padded rows yield exactly-zero dqkv rows (g rows are zero and
+        # the block-diagonal mask keeps them out of real rows' softmaxes)
+        qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
+    qkv, g = align_vma(qkv, g)
+    dqkv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, num_heads),
+        out_shape=out_struct((n + pad, s, d3), qkv.dtype, qkv, g),
+        grid=((n + pad) // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, s, d3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, s, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv, g)
+    return dqkv[:n] if pad else dqkv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _fused_attention(qkv: jax.Array, num_heads: int,
                      interpret: bool = False) -> jax.Array:
@@ -148,6 +289,9 @@ def _fused_fwd(qkv, num_heads, interpret):
 
 
 def _fused_bwd(num_heads, interpret, qkv, g):
+    if _PALLAS_BWD:
+        dqkv = _pallas_attention_bwd(qkv, g, num_heads, interpret)
+        return (match_cotangent_vma(dqkv, qkv),)
     _, vjp = jax.vjp(lambda t: xla_attention(t, num_heads), qkv)
     return vjp(g)
 
@@ -207,9 +351,10 @@ def _pallas_qkv_attention(x, kernel, bias, num_heads: int,
     # bias rides in as an (8, 3D) broadcast: Mosaic wants block sublane
     # dims >= 8 (CLAUDE.md pallas notes)
     b8 = jnp.broadcast_to(bias.astype(x.dtype)[None, :], (8, bias.shape[0]))
+    x, kb, b8 = align_vma(x, kernel.astype(x.dtype), b8)
     out = pl.pallas_call(
         functools.partial(_fused_qkv_kernel, num_heads),
-        out_shape=jax.ShapeDtypeStruct((n + pad, s, d), x.dtype),
+        out_shape=out_struct((n + pad, s, d), x.dtype, x, kernel, bias),
         grid=((n + pad) // nb,),
         in_specs=[
             pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
@@ -222,7 +367,7 @@ def _pallas_qkv_attention(x, kernel, bias, num_heads: int,
         out_specs=pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, kernel.astype(x.dtype), b8)
+    )(x, kb, b8)
     return out[:n] if pad else out
 
 
@@ -232,6 +377,84 @@ def xla_qkv_attention(x, kernel, bias, num_heads: int):
     qkv = (jnp.dot(x, kernel.astype(x.dtype))
            + bias.astype(x.dtype)[None, None, :])
     return xla_attention(qkv, num_heads)
+
+
+def _fused_qkv_bwd_kernel(num_heads: int, x_ref, g_ref, w_ref, b_ref,
+                          dx_ref, dw_ref, db_ref):
+    """dx per batch block; dW/db accumulated across the sequential grid in
+    resident f32 VMEM blocks (constant index_map — revisited on every
+    consecutive step, the defined accumulation order)."""
+    nb, s, d = x_ref.shape
+    gs = nb * s
+    x = x_ref[...].reshape(gs, d)
+    qkv = (jax.lax.dot_general(
+        x, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0][None, :]).astype(
+            x_ref.dtype)
+    parts, sums = _attend_blocked_bwd(qkv, g_ref[...].reshape(gs, d),
+                                      num_heads, s)
+    dqkv = jnp.concatenate(parts, axis=1).astype(x_ref.dtype)
+    db = jnp.concatenate(sums, axis=0)  # (3d,) f32
+    # dx = dqkv @ W^T  (contract qkv columns with W's output dim)
+    dx = jax.lax.dot_general(dqkv, w_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx_ref[...] = dx.reshape(nb, s, d).astype(dx_ref.dtype)
+    # dW = x^T @ dqkv  (contract the gs rows)
+    dw = jax.lax.dot_general(x, dqkv, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dw_ref[...] += dw
+    db_ref[...] += jnp.broadcast_to(db[None, :], db_ref.shape)
+
+
+def _pallas_qkv_attention_bwd(x, kernel, bias, g, num_heads: int,
+                              interpret: bool = False):
+    n, s, d = x.shape
+    nb = min(_BLOCK_B, n)
+    pad = (-n) % nb
+    if pad:
+        # zero x rows project to bias-only qkv, but their g rows are zero so
+        # every gradient piece they touch (dqkv, hence dx/dW/db) is zero
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
+    b8 = jnp.broadcast_to(bias.astype(x.dtype)[None, :], (8, bias.shape[0]))
+    x, g, kb, b8 = align_vma(x, g, kernel.astype(x.dtype), b8)
+    dx, dw, db8 = pl.pallas_call(
+        functools.partial(_fused_qkv_bwd_kernel, num_heads),
+        out_shape=(
+            out_struct((n + pad, s, d), x.dtype, x, g, kernel, bias),
+            out_struct(kernel.shape, jnp.float32, x, g, kernel, bias),
+            out_struct((8, 3 * d), jnp.float32, x, g, kernel, bias),
+        ),
+        grid=((n + pad) // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(kernel.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b8.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(kernel.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, g, kb, b8)
+    if pad:
+        dx = dx[:n]
+    return (dx, dw.astype(kernel.dtype), db8[0].astype(bias.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -246,6 +469,11 @@ def _fused_qkv_fwd(x, kernel, bias, num_heads, interpret):
 
 def _fused_qkv_bwd(num_heads, interpret, res, g):
     x, kernel, bias = res
+    if _PALLAS_BWD:
+        dx, dw, db = _pallas_qkv_attention_bwd(x, kernel, bias, g, num_heads,
+                                               interpret)
+        return (match_cotangent_vma(dx, x), match_cotangent_vma(dw, kernel),
+                match_cotangent_vma(db, bias))
     _, vjp = jax.vjp(
         lambda xx, kk, bb: xla_qkv_attention(xx, kk, bb, num_heads),
         x, kernel, bias)

@@ -118,3 +118,85 @@ def test_meta_training_reduces_loss(with_lite):
     early = np.mean(losses[:4])
     late = np.mean(losses[-4:])
     assert late < early * 0.8, f"meta-training did not learn: {early:.4f} -> {late:.4f}"
+
+
+def test_lite_vit_grads_identical_pallas_vs_xla_backward():
+    """The full LITE train step (stop_gradient cache + remat'd grad chunks +
+    scan over target batches) differentiated through the Pallas fused
+    attention/MLP kernels' BACKWARD kernels (interpret mode) must match the
+    pure-XLA path — this is the train-path contract of
+    orbit_tpu/ops/{tiny_attention,mlp_block}.py's custom_vjps."""
+    from orbit_tpu.ops.tiny_attention import force_impl
+
+    n = 8
+    args = SimpleNamespace(tasks_per_batch=2, learn_extractor=True,
+                           with_lite=True, num_lite_samples=4, batch_size=4,
+                           optimizer="adam", learning_rate=1e-3,
+                           weight_decay=0.0, betas=(0.9, 0.999), epsilon=1e-8)
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="vit_s_32", adapt_features=False,
+        classifier="proto", batch_size=4, learn_extractor=True,
+        num_lite_samples=4)
+    with force_impl("xla"):
+        variables = jax.jit(lambda k: rec.init(k, frame_size=64))(
+            jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(7)
+    ep = {k: jnp.asarray(v) for k, v in
+          colour_episode(rng, way=3, n_ctx=n, n_tgt=n, size=64).items()}
+    key = jax.random.PRNGKey(5)
+    lite_fn = steps_lib.build_train_task_lite(rec, args)
+
+    grads = {}
+    for impl in ("xla", "interpret"):
+        with force_impl(impl):
+            grads[impl] = jax.jit(lite_fn).lower(
+                variables, ep, key).compile()(variables, ep, key)[0]
+    flat_p, _ = jax.tree_util.tree_flatten(grads["interpret"])
+    flat_x, _ = jax.tree_util.tree_flatten(grads["xla"])
+    assert flat_p and len(flat_p) == len(flat_x)
+    for a, b in zip(flat_p, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+
+def test_lite_vit_film_grads_flow_through_kernel_backward():
+    """CNAPs-style config on a ViT (adapt_features, frozen extractor): the
+    FiLM-adapted norm2 scale/bias enter the fused MLP kernel as VALUES, so
+    the set-encoder/film-generator gradient arrives exclusively through the
+    kernel backward's dgamma/dbeta — it must match the XLA path and be
+    non-zero."""
+    from orbit_tpu.ops.tiny_attention import force_impl
+
+    n = 8
+    args = SimpleNamespace(tasks_per_batch=2, learn_extractor=False,
+                           with_lite=True, num_lite_samples=4, batch_size=4,
+                           optimizer="adam", learning_rate=1e-3,
+                           weight_decay=0.0, betas=(0.9, 0.999), epsilon=1e-8)
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="vit_s_32", adapt_features=True,
+        classifier="proto", batch_size=4, learn_extractor=False,
+        num_lite_samples=4)
+    with force_impl("xla"):
+        variables = jax.jit(lambda k: rec.init(k, frame_size=64))(
+            jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(9)
+    ep = {k: jnp.asarray(v) for k, v in
+          colour_episode(rng, way=3, n_ctx=n, n_tgt=n, size=64).items()}
+    key = jax.random.PRNGKey(2)
+    lite_fn = steps_lib.build_train_task_lite(rec, args)
+
+    grads = {}
+    for impl in ("xla", "interpret"):
+        with force_impl(impl):
+            grads[impl] = jax.jit(lite_fn).lower(
+                variables, ep, key).compile()(variables, ep, key)[0]
+    gen_p = grads["interpret"]["film_generator"]
+    gen_x = grads["xla"]["film_generator"]
+    flat_p = jax.tree_util.tree_leaves(gen_p)
+    flat_x = jax.tree_util.tree_leaves(gen_x)
+    assert flat_p and any(np.abs(np.asarray(t)).max() > 0 for t in flat_p)
+    for a, b in zip(flat_p, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)

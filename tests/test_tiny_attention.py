@@ -141,6 +141,48 @@ def test_fused_qkv_gradients_all_args():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_fused_qkv_pallas_bwd_handles_padded_batch():
+    """The Pallas backward pads B to the 8-row block; padded rows must
+    contribute exactly zero to dx/dW/db (n=11 -> one full + one padded
+    block). Compared against the XLA-recompute backward escape hatch."""
+    from orbit_tpu.ops import tiny_attention as ta
+
+    x, kernel, bias = _xkb(n=11, s=10, d=64, key=5)
+
+    def loss(xx, kk, bb):
+        return (ta.fused_qkv_attention(xx, kk, bb, 2, impl="interpret")
+                ** 2).sum()
+
+    g_pallas = jax.grad(loss, argnums=(0, 1, 2))(x, kernel, bias)
+    old = ta._PALLAS_BWD
+    ta._PALLAS_BWD = False
+    try:
+        g_xla = jax.grad(loss, argnums=(0, 1, 2))(x, kernel, bias)
+    finally:
+        ta._PALLAS_BWD = old
+    for a, b in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_plain_attention_pallas_bwd_matches_escape_hatch():
+    from orbit_tpu.ops import tiny_attention as ta
+
+    qkv = _qkv(n=11, s=10, d=64, key=9)
+
+    def loss(t):
+        return (ta.tiny_attention(t, 2, impl="interpret") ** 2).sum()
+
+    g_pallas = jax.grad(loss)(qkv)
+    old = ta._PALLAS_BWD
+    ta._PALLAS_BWD = False
+    try:
+        g_xla = jax.grad(loss)(qkv)
+    finally:
+        ta._PALLAS_BWD = old
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               atol=5e-5)
+
+
 def test_fused_qkv_bad_params_raise():
     from orbit_tpu.ops.tiny_attention import fused_qkv_attention
 
