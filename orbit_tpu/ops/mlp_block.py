@@ -35,9 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from orbit_tpu.ops.tiny_attention import (align_vma,
-                                           match_cotangent_vma,
-                                           out_struct)
+from orbit_tpu.ops.vma import (align_vma, match_cotangent_vma,
+                               out_struct)
 
 _BLOCK_B = 8
 
@@ -54,24 +53,36 @@ def _erf_poly(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _ln_fc1_gelu(x, gam_row, bet_row, w1, b1_row, ln_eps):
+    """LayerNorm -> fc1 -> exact-erf gelu, shared by the forward and
+    backward kernels so their recomputed math can never drift apart.
+    Returns every intermediate the backward needs; the forward's unused
+    ones are dead-code-eliminated."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = xc * rstd
+    xn = (xhat * gam_row + bet_row).astype(x.dtype)
+    hpre = (jax.lax.dot_general(
+        xn, w1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_row)
+    erf = _erf_poly(hpre * (1.0 / math.sqrt(2.0)))
+    hg = (0.5 * hpre * (1.0 + erf)).astype(x.dtype)
+    return xf, xhat, rstd, xn, hpre, erf, hg
+
+
 def _mlp_kernel(ln_eps, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 out_ref):
     nb, s, d = x_ref.shape
     gs = nb * s
     x = x_ref[...].reshape(gs, d)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    xn = (xc * jax.lax.rsqrt(var + ln_eps) * g_ref[0][None, :]
-          + b_ref[0][None, :]).astype(x_ref.dtype)
-    h = (jax.lax.dot_general(
-        xn, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[0][None, :])
-    h = (0.5 * h * (1.0 + _erf_poly(h * (1.0 / math.sqrt(2.0))))
-         ).astype(x_ref.dtype)
+    xf, _, _, _, _, _, hg = _ln_fc1_gelu(
+        x, g_ref[0][None, :], b_ref[0][None, :], w1_ref[...],
+        b1_ref[0][None, :], ln_eps)
     y = (jax.lax.dot_general(
-        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        hg, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0][None, :] + xf)
     out_ref[...] = y.reshape(nb, s, d).astype(out_ref.dtype)
 
@@ -141,19 +152,10 @@ def _mlp_bwd_kernel(ln_eps, x_ref, g_ref, gam_ref, bet_ref, w1_ref, b1_ref,
     just colsum(g) so w2's bias never rides in."""
     nb, s, d = x_ref.shape
     gs = nb * s
-    xf = x_ref[...].reshape(gs, d).astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + ln_eps)
-    xhat = xc * rstd
     gam = gam_ref[0][None, :]
-    xn = (xhat * gam + bet_ref[0][None, :]).astype(x_ref.dtype)
-    hpre = (jax.lax.dot_general(
-        xn, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[0][None, :])
-    erf = _erf_poly(hpre * (1.0 / math.sqrt(2.0)))
-    hg = (0.5 * hpre * (1.0 + erf)).astype(x_ref.dtype)
+    xf, xhat, rstd, xn, hpre, erf, hg = _ln_fc1_gelu(
+        x_ref[...].reshape(gs, d), gam, bet_ref[0][None, :], w1_ref[...],
+        b1_ref[0][None, :], ln_eps)
 
     gf = g_ref[...].reshape(gs, d).astype(jnp.float32)
     gb = gf.astype(x_ref.dtype)
@@ -268,12 +270,17 @@ def _fused_mlp_bwd(ln_eps, interpret, res, g):
         dx, dgam, dbet, dw1, db1, dw2, db2 = _pallas_mlp_bwd(
             x, ln_scale, ln_bias, w1, b1, w2, g, ln_eps, interpret)
         cts = (dx, dgam, dbet, dw1, db1, dw2, db2.astype(b2.dtype))
-        primals = (x, ln_scale, ln_bias, w1, b1, w2, b2)
-        return tuple(match_cotangent_vma(c, p) for c, p in zip(cts, primals))
-    _, vjp = jax.vjp(
-        lambda *a: xla_mlp_block(*a, ln_eps), x, ln_scale, ln_bias,
-        w1, b1, w2, b2)
-    return vjp(g)
+    else:
+        # the escape hatch must stay usable under shard_map too: its inner
+        # vjp sees already-varying residuals, so the replicated-param psum
+        # never fires inside it (match_cotangent_vma below is a no-op when
+        # it did)
+        _, vjp = jax.vjp(
+            lambda *a: xla_mlp_block(*a, ln_eps), x, ln_scale, ln_bias,
+            w1, b1, w2, b2)
+        cts = vjp(g)
+    primals = (x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return tuple(match_cotangent_vma(c, p) for c, p in zip(cts, primals))
 
 
 _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

@@ -70,45 +70,8 @@ def force_impl(impl: str):
 _BLOCK_B = 8
 
 
-def out_struct(shape, dtype, *operands):
-    """ShapeDtypeStruct whose varying-mesh-axes set is the union of the
-    operands' — required for pallas_call outputs traced inside a
-    ``jax.shard_map`` with check_vma (episode-DP runs the kernels per-shard;
-    every output varies over exactly the axes its inputs do)."""
-    vma = frozenset()
-    for o in operands:
-        vma = vma | getattr(jax.typeof(o), "vma", frozenset())
-    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-
-
-def align_vma(*arrays):
-    """pcast every array to the union of the group's varying-mesh-axes.
-    Inside shard_map, Pallas kernel bodies type-check primitives strictly
-    (a dot_general between a varying activation block and a replicated
-    weight block fails with mixed vma), so every pallas_call operand must
-    enter with identical vma. No-op outside shard_map."""
-    target = frozenset()
-    for a in arrays:
-        target = target | getattr(jax.typeof(a), "vma", frozenset())
-    out = []
-    for a in arrays:
-        extra = target - getattr(jax.typeof(a), "vma", frozenset())
-        out.append(jax.lax.pcast(a, tuple(sorted(extra)), to="varying")
-                   if extra else a)
-    return out
-
-
-def match_cotangent_vma(ct, primal):
-    """psum a custom_vjp cotangent over any mesh axes it varies on but its
-    primal does not. Inside ``shard_map``, replicated params (P()) reach the
-    kernels with vma=∅ while activations vary over the data axes; JAX's
-    replication-aware AD inserts the cross-device psum only when transposing
-    its own pbroadcast — an opaque custom_vjp backward IS the transpose, so
-    it must reduce the partial per-shard dW/db itself or the grads' out_spec
-    (P(), mesh-summed) fails to type-check. No-op outside shard_map."""
-    extra = (getattr(jax.typeof(ct), "vma", frozenset())
-             - getattr(jax.typeof(primal), "vma", frozenset()))
-    return jax.lax.psum(ct, tuple(sorted(extra))) if extra else ct
+# shard_map vma utilities (shared with mlp_block and future Pallas ops)
+from orbit_tpu.ops.vma import align_vma, match_cotangent_vma, out_struct  # noqa: E402
 
 
 def _attn_kernel(num_heads: int, qkv_ref, out_ref):
@@ -128,28 +91,43 @@ def _attn_kernel(num_heads: int, qkv_ref, out_ref):
     _attend_blocked(qkv_ref[...].reshape(nb * s, d3), num_heads, nb, s, out_ref)
 
 
+def _block_bias(gs: int, s: int):
+    """Block-diagonal additive mask: row i may only attend inside its own
+    batch row's s-token span (exp(-1e30) = 0 elsewhere)."""
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 0) // s
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 1) // s
+    return jnp.where(row_blk == col_blk, 0.0, -1e30).astype(jnp.float32)
+
+
+def _head_softmax(qkv, h: int, num_heads: int, bias):
+    """One head's (q, k, v, p): the masked row-stacked softmax shared by
+    the forward AND backward kernels so their recomputed math can never
+    drift apart."""
+    d = qkv.shape[1] // 3
+    hd = d // num_heads
+    q = qkv[:, h * hd:(h + 1) * hd]
+    k = qkv[:, d + h * hd:d + (h + 1) * hd]
+    v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+    # scores[s1, s2] = <q[s1], k[s2]> : contract hd with hd (NT form, no
+    # explicit transpose), f32 accumulation on the MXU.
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / math.sqrt(hd)) + bias
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    return q, k, v, p
+
+
 def _attend_blocked(qkv, num_heads: int, nb: int, s: int, out_ref):
     """Shared body: blocked masked attention on a flat (nb*s, 3d) qkv."""
     gs, d3 = qkv.shape
     d = d3 // 3
     hd = d // num_heads
-    scale = 1.0 / math.sqrt(hd)
-    row_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 0) // s
-    col_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 1) // s
-    bias = jnp.where(row_blk == col_blk, 0.0, -1e30).astype(jnp.float32)
+    bias = _block_bias(gs, s)
     for h in range(num_heads):
-        q = qkv[:, h * hd:(h + 1) * hd]
-        k = qkv[:, d + h * hd:d + (h + 1) * hd]
-        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
-        # scores[s1, s2] = <q[s1], k[s2]> : contract hd with hd (NT form,
-        # no explicit transpose), f32 accumulation on the MXU.
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        _, _, v, p = _head_softmax(qkv, h, num_heads, bias)
         out = jnp.dot(p.astype(qkv.dtype), v,
                       preferred_element_type=jnp.float32)
         out_ref[:, :, h * hd:(h + 1) * hd] = out.reshape(nb, s, hd).astype(
@@ -203,22 +181,11 @@ def _attend_blocked_bwd(qkv, g, num_heads: int, s: int):
     d = d3 // 3
     hd = d // num_heads
     scale = 1.0 / math.sqrt(hd)
-    row_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 0) // s
-    col_blk = jax.lax.broadcasted_iota(jnp.int32, (gs, gs), 1) // s
-    bias = jnp.where(row_blk == col_blk, 0.0, -1e30).astype(jnp.float32)
+    bias = _block_bias(gs, s)
     dqs, dks, dvs = [], [], []
     for h in range(num_heads):
-        q = qkv[:, h * hd:(h + 1) * hd]
-        k = qkv[:, d + h * hd:d + (h + 1) * hd]
-        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        q, k, v, p = _head_softmax(qkv, h, num_heads, bias)
         gh = g[:, h * hd:(h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
         pb = p.astype(qkv.dtype)
         # dv[j] = sum_i p[i,j] g[i]  (contract rows of p with rows of g)
         dv = jax.lax.dot_general(pb, gh, (((0,), (0,)), ((), ())),
@@ -291,9 +258,10 @@ def _fused_fwd(qkv, num_heads, interpret):
 def _fused_bwd(num_heads, interpret, qkv, g):
     if _PALLAS_BWD:
         dqkv = _pallas_attention_bwd(qkv, g, num_heads, interpret)
-        return (match_cotangent_vma(dqkv, qkv),)
-    _, vjp = jax.vjp(lambda t: xla_attention(t, num_heads), qkv)
-    return vjp(g)
+    else:
+        _, vjp = jax.vjp(lambda t: xla_attention(t, num_heads), qkv)
+        (dqkv,) = vjp(g)
+    return (match_cotangent_vma(dqkv, qkv),)
 
 
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
@@ -472,12 +440,17 @@ def _fused_qkv_bwd(num_heads, interpret, res, g):
     if _PALLAS_BWD:
         dx, dw, db = _pallas_qkv_attention_bwd(x, kernel, bias, g, num_heads,
                                                interpret)
-        return (match_cotangent_vma(dx, x), match_cotangent_vma(dw, kernel),
-                match_cotangent_vma(db, bias))
-    _, vjp = jax.vjp(
-        lambda xx, kk, bb: xla_qkv_attention(xx, kk, bb, num_heads),
-        x, kernel, bias)
-    return vjp(g)
+    else:
+        # the inner vjp psums replicated-param cotangents only when the
+        # pbroadcast happens INSIDE it; under shard_map the residual x is
+        # already varying, so match explicitly here too (the escape hatch
+        # must stay usable for A/B runs on the episode-DP train path)
+        _, vjp = jax.vjp(
+            lambda xx, kk, bb: xla_qkv_attention(xx, kk, bb, num_heads),
+            x, kernel, bias)
+        dx, dw, db = vjp(g)
+    return (match_cotangent_vma(dx, x), match_cotangent_vma(dw, kernel),
+            match_cotangent_vma(db, bias))
 
 
 _fused_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)

@@ -28,10 +28,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_tree(n_frames: int, src_size: int) -> list:
+def make_tree(n_frames: int, src_size: int, _dirs=[]) -> list:
+    import atexit
+    import shutil
+
     from PIL import Image
 
     d = tempfile.mkdtemp(prefix="orbit_ingest_bench_")
+    _dirs.append(d)
+    atexit.register(lambda: [shutil.rmtree(x, ignore_errors=True)
+                             for x in _dirs])
     rng = np.random.RandomState(0)
     paths = []
     base = rng.randint(0, 255, (src_size, src_size, 3)).astype(np.uint8)
@@ -71,12 +77,19 @@ def main():
     out = {"frames": args.frames, "src_px": args.src_size,
            "out_px": args.size, "threads": args.threads}
 
+    from orbit_tpu.data.native_decoder import native_available
+
     for name, use_native in (("pil", False), ("native", True)):
+        if use_native and not native_available():
+            out["native_fps"] = None  # build unavailable
+            continue
         ld = FrameLoader(args.size, "imagenet", num_threads=args.threads,
                          use_native=use_native)
-        out[f"{name}_fps"] = round(bench(ld, paths), 1)
+        fps = bench(ld, paths)
         if use_native and not ld.use_native:
-            out["native_fps"] = None  # build unavailable; fell back
+            out["native_fps"] = None  # decode error mid-bench; fell back
+            continue
+        out[f"{name}_fps"] = round(fps, 1)
     print(json.dumps(out))
 
 

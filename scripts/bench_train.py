@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--frame", type=int, default=224)
     ap.add_argument("--way", type=int, default=8)
     args_cli = ap.parse_args()
+    if not 2 <= args_cli.way <= 16:
+        ap.error("--way must be in [2, 16] (the benchmark episode pads "
+                 "class logits to 16, like the CLU-VE protocol's max way)")
 
     import jax
     import jax.numpy as jnp
