@@ -81,3 +81,63 @@ def test_finetuner_inner_loop_matches_torch():
     np.testing.assert_allclose(b_ours, b_ref, rtol=2e-3, atol=2e-4)
     # padded class rows never receive gradient
     assert np.abs(np.asarray(tp["head"]["weight"])[way:]).max() == 0
+
+
+def test_finetuner_film_on_vit_identical_across_kernel_impls():
+    """FineTuner+FiLM on a ViT: every inner grad step differentiates the
+    backbone w.r.t. the FiLM'd LayerNorm scales/biases THROUGH the fused
+    Pallas kernels' backwards (interpret mode here). The finetuned film +
+    head params must match the pure-XLA path (reference protocol:
+    multi-step-learner.py with --adapt_features)."""
+    from types import SimpleNamespace
+
+    from orbit_tpu.learners.multi_step import build_finetune_fns
+    from orbit_tpu.models.recognisers import MultiStepFewShotRecogniser
+    from orbit_tpu.ops.tiny_attention import force_impl
+
+    way, n = 3, 10
+    rng = np.random.default_rng(4)
+    ctx = jnp.asarray(rng.standard_normal((n, 1, 64, 64, 3)) * 0.5,
+                      jnp.float32)
+    lbl = jnp.asarray(np.arange(n) % way, jnp.int32)
+    mask = jnp.ones((n,), jnp.float32)
+    cm = jnp.asarray(np.arange(16) < way, jnp.float32)
+
+    args = SimpleNamespace(
+        personalize_num_grad_steps=3, personalize_learning_rate=0.01,
+        personalize_optimizer="adam", personalize_weight_decay=0.0,
+        personalize_extractor_lr_scale=1.0, personalize_epsilon=1e-8,
+        personalize_betas=(0.9, 0.999), personalize_momentum=0.0,
+        batch_size=8)
+    rec = MultiStepFewShotRecogniser(
+        feature_extractor_name="vit_s_32", adapt_features=True,
+        classifier="linear", batch_size=8)
+    with force_impl("xla"):
+        variables = jax.jit(lambda k: rec.init(k, frame_size=64))(
+            jax.random.PRNGKey(0))
+
+    results = {}
+    for impl in ("xla", "interpret"):
+        with force_impl(impl):
+            personalise, predict = build_finetune_fns(rec, args)
+            tp = jax.jit(personalise).lower(
+                variables, ctx, lbl, mask, cm).compile()(
+                    variables, ctx, lbl, mask, cm)
+            logits = predict(variables, tp, ctx, cm)
+        results[impl] = (jax.tree_util.tree_map(np.asarray, tp),
+                         np.asarray(logits))
+
+    tp_p, logits_p = results["interpret"]
+    tp_x, logits_x = results["xla"]
+    flat_p = jax.tree_util.tree_leaves(tp_p)
+    flat_x = jax.tree_util.tree_leaves(tp_x)
+    assert flat_p and len(flat_p) == len(flat_x)
+    for a, b in zip(flat_p, flat_x):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(logits_p, logits_x, atol=5e-3, rtol=5e-3)
+    # the film leaves actually moved (grads flowed through the kernels)
+    film0 = rec.init_task_params(variables, 16)["film"]
+    moved = [np.abs(np.asarray(a) - np.asarray(b)).max()
+             for a, b in zip(jax.tree_util.tree_leaves(tp_p["film"]),
+                             jax.tree_util.tree_leaves(film0))]
+    assert max(moved) > 0
