@@ -190,3 +190,32 @@ def test_host_sharded_task_stream(orbit_fixture_tree):
     assert shard_ids[0] == [t for b in blocks[0::2] for t in b]
     assert shard_ids[1] == [t for b in blocks[1::2] for t in b]
     assert sorted(shard_ids[0] + shard_ids[1]) == sorted(all_ids)
+
+
+def test_sharded_query_vit_fused_kernels_trace():
+    """Eval-side vma contract: ShardedQuery's shard_map'd predict must trace
+    through the fused Pallas forward kernels with replicated params and a
+    query-sharded batch (Mosaic lowering needs a TPU; the strict-vma typing
+    — out_struct/align_vma — is checked on any backend)."""
+    from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+    from orbit_tpu.ops.tiny_attention import force_impl
+    from orbit_tpu.parallel import ShardedQuery, make_mesh
+
+    rec = SingleStepFewShotRecogniser(feature_extractor_name="vit_s_32",
+                                      classifier="proto", batch_size=16)
+    with force_impl("xla"):
+        variables = jax.jit(lambda k: rec.init(k, frame_size=64))(
+            jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        ctx = jnp.asarray(rng.standard_normal((4, 1, 64, 64, 3)), jnp.float32)
+        state = rec.personalise(variables, ctx,
+                                jnp.asarray([0, 1, 0, 1], jnp.int32),
+                                jnp.ones((4,), jnp.float32), 16,
+                                train=False, with_grad=False)
+    clips = jnp.zeros((16, 1, 64, 64, 3), jnp.float32)
+    class_mask = jnp.asarray(np.arange(16) < 2, jnp.float32)
+
+    sq = ShardedQuery(rec, mesh=make_mesh(4))
+    with force_impl("fused"):
+        traced = sq._predict.trace(variables, state, clips, class_mask)
+    assert "pallas_call" in str(traced.jaxpr)
