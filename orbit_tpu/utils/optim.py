@@ -38,7 +38,10 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     if mask is None:
         return nll.mean() if reduction == "mean" else nll.sum()
     m = mask.astype(jnp.float32)
-    total = (nll * m).sum()
+    # select-then-sum, not multiply: a padded row whose logits degenerated
+    # to +-inf upstream would turn 0 * inf into NaN (same hardening as the
+    # masked-BN moments, masked_bn.py)
+    total = jnp.where(m > 0, nll, 0.0).sum()
     if reduction == "sum":
         return total
     return total / jnp.maximum(m.sum(), 1.0)
