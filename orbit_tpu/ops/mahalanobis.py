@@ -89,6 +89,8 @@ def _pallas_logits(features, means, precisions, class_mask, logit_scale,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from orbit_tpu.ops.vma import align_vma, out_struct
+
     m, d = features.shape
     c = means.shape[0]
     tile_m = m
@@ -104,6 +106,10 @@ def _pallas_logits(features, means, precisions, class_mask, logit_scale,
             tile_d = cand
             break
     grid = (c, m // tile_m, d // tile_d)
+    mask_c, feats_f, means_f, prec_f = align_vma(
+        class_mask.reshape(c, 1).astype(jnp.float32),
+        features.astype(jnp.float32), means.astype(jnp.float32),
+        precisions.astype(jnp.float32))
     out = pl.pallas_call(
         functools.partial(_kernel, logit_scale=logit_scale),
         grid=grid,
@@ -116,7 +122,8 @@ def _pallas_logits(features, means, precisions, class_mask, logit_scale,
         ],
         out_specs=pl.BlockSpec((1, 8, tile_m), lambda i, j, k: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, 8, m), jnp.float32),
+        out_shape=out_struct((c, 8, m), jnp.float32, mask_c,
+                             feats_f, means_f, prec_f),
         scratch_shapes=[pltpu.VMEM((tile_m, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * d * d * c + 3 * m * d * c,
@@ -126,10 +133,7 @@ def _pallas_logits(features, means, precisions, class_mask, logit_scale,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(class_mask.reshape(c, 1).astype(jnp.float32),
-      features.astype(jnp.float32),
-      means.astype(jnp.float32),
-      precisions.astype(jnp.float32))
+    )(mask_c, feats_f, means_f, prec_f)
     return out[:, 0, :].T  # (M, C)
 
 
