@@ -299,3 +299,22 @@ def test_eval_data_parallel_mismatch_warns_loudly(orbit_root, tmp_path):
     logged = open(os.path.join(learner.checkpoint_dir, "log.txt")).read()
     assert "WARNING" in logged and "--data_parallel 64" in logged
     learner.logfile.close()
+
+
+def test_single_step_test_protocol_vit(orbit_root, tmp_path):
+    """CLU-VE test protocol end-to-end on a ViT backbone — the bench
+    headline family (PERF.md) previously had no driver-level coverage
+    (all learner e2e tests used efficientnet_b0). 84px -> 2x2 patches +
+    cls = 5 tokens through the fused-attention code path (XLA impl on
+    this CPU host; kernel parity is covered in test_tiny_attention)."""
+    from orbit_tpu.learners import SingleStepLearner
+
+    import json
+
+    args = make_args(orbit_root, str(tmp_path / "ckpt"), mode="test",
+                     feature_extractor="vit_s_32")
+    learner = SingleStepLearner(args)
+    learner.run()
+    with open(learner.test_evaluator.json_results_path) as f:
+        results = json.load(f)
+    assert results  # one entry per test user, challenge schema
