@@ -157,6 +157,63 @@ def torch_cpu_fps(name: str, frames: int = 32, runs: int = 5):
     return median, q[2] - q[0], torch.get_num_threads()
 
 
+def lite_train_step_time(name: str, ctx: int = 256, tgt: int = 128,
+                         batch: int = 64, lite: int = 16, way: int = 8,
+                         frame: int = 224):
+    """Seconds per jitted LITE meta-training task step (ProtoNets head,
+    learn_extractor, 224px bf16) on the default device — the hot loop of
+    single-step-learner.py --mode train --with_lite (reference:
+    single-step-learner.py:212-243). On the ViTs this exercises the fused
+    Pallas forward AND backward kernels (their production default).
+
+    Two-point timing with a forced readback, like measure_fps."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbit_tpu.learners import steps as steps_lib
+    from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+    from types import SimpleNamespace
+
+    args = SimpleNamespace(
+        tasks_per_batch=16, learn_extractor=True, with_lite=True,
+        num_lite_samples=lite, batch_size=batch, optimizer="adam",
+        learning_rate=1e-3, weight_decay=0.0, betas=(0.9, 0.999),
+        epsilon=1e-8)
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name=name, adapt_features=False,
+        classifier="proto", batch_size=batch, learn_extractor=True,
+        num_lite_samples=lite, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda k: rec.init(k, frame_size=frame))(
+        jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ep = {
+        "context_clips": jnp.asarray(
+            rng.standard_normal((ctx, 1, frame, frame, 3)), jnp.bfloat16),
+        "context_labels": jnp.asarray(rng.integers(0, way, ctx), jnp.int32),
+        "context_mask": jnp.ones(ctx, jnp.float32),
+        "class_mask": jnp.asarray(np.arange(16) < way, jnp.float32),
+        "target_clips": jnp.asarray(
+            rng.standard_normal((tgt, 1, frame, frame, 3)), jnp.bfloat16),
+        "target_labels": jnp.asarray(rng.integers(0, way, tgt), jnp.int32),
+        "target_mask": jnp.ones(tgt, jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    fn = jax.jit(steps_lib.build_train_task_lite(rec, args))
+    for _ in range(2):
+        np.asarray(fn(variables, ep, key)[1])  # compile + warm, synced
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(variables, ep, key)
+        np.asarray(out[1])
+        return time.perf_counter() - t0
+
+    n1, n2 = 1, 5
+    return (run(n2) - run(n1)) / (n2 - n1)
+
+
 def main():
     import jax
 
@@ -198,6 +255,20 @@ def main():
         extra[f"{name}_tflops"] = round(tflops, 2)
         if on_accelerator:  # v5e peak ~197 TFLOP/s bf16 (PERF.md)
             extra[f"{name}_mfu_pct"] = round(100.0 * tflops / 197.0, 1)
+
+    # LITE meta-training task step (records the Pallas fwd+bwd kernel path
+    # on real hardware; PERF.md "meta-training step"). Never allowed to
+    # zero the headline: failures degrade to an _error marker.
+    if on_accelerator:
+        for name in ("vit_b_32", "efficientnet_b0"):
+            for attempt in (0, 1):
+                try:
+                    sec = lite_train_step_time(name)
+                    extra[f"{name}_lite_train_task_ms"] = round(sec * 1e3, 1)
+                    break
+                except Exception as e:
+                    if attempt:
+                        extra[f"{name}_lite_train_error"] = type(e).__name__
 
     # Headline backbone: ViT-B/32 — the backbone of the reference's best
     # published accuracy (ProtoNets-cosine 75.38, BASELINE.md) and the one
