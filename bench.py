@@ -198,7 +198,7 @@ def lite_train_step_time(name: str, ctx: int = 256, tgt: int = 128,
         "target_mask": jnp.ones(tgt, jnp.float32),
     }
     key = jax.random.PRNGKey(1)
-    fn = jax.jit(steps_lib.build_train_task_lite(rec, args))
+    fn = steps_lib.build_train_task_lite(rec, args)  # already jitted
     for _ in range(2):
         np.asarray(fn(variables, ep, key)[1])  # compile + warm, synced
 

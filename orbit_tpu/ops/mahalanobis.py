@@ -146,6 +146,14 @@ def mahalanobis_logits(features: jnp.ndarray, means: jnp.ndarray,
 
     ``force``: None = auto (Pallas on TPU, einsum elsewhere), "pallas",
     "interpret" (Pallas interpreter, for tests), or "xla".
+
+    shard_map note: "pallas" traces and lowers cleanly inside shard_map
+    (vma-typed via ops.vma; trace-pinned in tests/test_ops.py), but
+    "interpret" does NOT execute inside shard_map — interpret mode replays
+    the kernel as plain JAX ops, and the program_id-derived dynamic-slice
+    column indices are vma-invariant against the dp-varying feature refs,
+    which strict-vma type checking rejects. Use "interpret" only outside
+    shard_map (or force="xla" inside it on CPU).
     """
     c = means.shape[0]
     if class_mask is None:

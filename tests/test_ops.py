@@ -31,6 +31,35 @@ def test_mahalanobis_kernel_matches_xla(m, c, d):
     assert (np.asarray(ker)[:, -2:] < -1e29).all()
 
 
+def test_mahalanobis_pallas_shard_map_trace():
+    """vma contract of the opt-in kernel: mahalanobis_logits(force="pallas")
+    must trace through shard_map with a dp-sharded query batch and replicated
+    class stats (Mosaic lowering needs a TPU; the strict-vma typing —
+    out_struct/align_vma — is checked on any backend). Mirrors
+    test_sharded_query_vit_fused_kernels_trace for the attention kernels.
+    NB force="interpret" cannot EXECUTE inside shard_map (see the
+    mahalanobis_logits docstring) — this pins the trace-level contract the
+    real-TPU path relies on."""
+    from jax.sharding import PartitionSpec as P
+
+    from orbit_tpu.parallel import make_mesh
+
+    mesh = make_mesh(4)
+    m, c, d = 32, 8, 128
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    means = jnp.asarray(rng.standard_normal((c, d)), jnp.float32)
+    precisions = jnp.broadcast_to(jnp.eye(d, dtype=jnp.float32), (c, d, d))
+    mask = jnp.ones((c,), jnp.float32)
+
+    fn = jax.shard_map(
+        lambda f, mu, pr, mk: mahalanobis_logits(f, mu, pr, mk,
+                                                 force="pallas"),
+        mesh=mesh, in_specs=(P("dp"), P(), P(), P()), out_specs=P("dp"))
+    traced = jax.jit(fn).trace(feats, means, precisions, mask)
+    assert "pallas_call" in str(traced.jaxpr)
+
+
 def test_mahalanobis_head_dispatch():
     """predict_mahalanobis routes through the shared kernel entry point and
     stays numerically consistent with configure_mahalanobis output."""
