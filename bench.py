@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -215,9 +216,28 @@ def lite_train_step_time(name: str, ctx: int = 256, tgt: int = 128,
 
 
 def main():
+    # The axon TPU tunnel occasionally wedges (devices() hangs forever;
+    # CLAUDE.md "Environment gotchas"). A clean, fast nonzero exit is far
+    # more useful to the round driver than an infinite hang, so backend
+    # init runs under a watchdog that aborts the process (stderr only — no
+    # JSON metric line is ever emitted for a failed init).
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        timeout = float(os.environ.get("ORBIT_BENCH_INIT_TIMEOUT", "600"))
+        if not init_done.wait(timeout):
+            print(f"bench.py: JAX backend init did not complete within "
+                  f"{timeout:.0f}s (wedged TPU tunnel?); aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
     device = jax.devices()[0]
+    init_done.set()
     on_accelerator = device.platform != "cpu"
     extra = {}
     fps_by_name = {}
