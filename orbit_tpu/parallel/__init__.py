@@ -1,4 +1,6 @@
 from orbit_tpu.parallel.episode_dp import EpisodeDataParallel, make_mesh
+from orbit_tpu.parallel.finetune_dp import ShardedFineTune
 from orbit_tpu.parallel.query_sharding import ShardedQuery
 
-__all__ = ["EpisodeDataParallel", "ShardedQuery", "make_mesh"]
+__all__ = ["EpisodeDataParallel", "ShardedFineTune", "ShardedQuery",
+           "make_mesh"]
