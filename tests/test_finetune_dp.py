@@ -82,6 +82,32 @@ def test_multi_step_driver_data_parallel(orbit_fixture_tree, tmp_path_factory):
         assert set(json.load(f)) == {"P001", "P002"}
 
 
+def test_multi_step_data_parallel_mismatch_warns_loudly(orbit_fixture_tree,
+                                                        tmp_path_factory):
+    """Requesting more devices than visible must warn and proceed
+    single-chip, never degrade silently (mirrors the single-step eval
+    behaviour, round-2 verdict weak #9)."""
+    import os
+
+    from tests.test_learners import make_args
+    from orbit_tpu.learners import MultiStepLearner
+
+    root = tmp_path_factory.mktemp("root")
+    src = os.path.realpath(orbit_fixture_tree)
+    for mode in ("train", "validation", "test"):
+        os.symlink(src, root / mode)
+
+    ck = tmp_path_factory.mktemp("ck")
+    args = make_args(str(root), str(ck), mode="test",
+                     learner="multi-step-learner", classifier="linear",
+                     personalize_num_grad_steps=1, data_parallel=64)
+    learner = MultiStepLearner(args)
+    log_path = os.path.join(learner.checkpoint_dir, "log.txt")
+    with open(log_path) as f:
+        assert "WARNING: --data_parallel 64" in f.read()
+    learner.logfile.close()
+
+
 def test_sharded_finetune_learns_context():
     """End-of-finetuning sanity: the sharded inner loop actually fits the
     context set (mirrors tests/test_learners.py::test_finetuner_actually_learns
