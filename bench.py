@@ -238,6 +238,9 @@ def main():
 
     device = jax.devices()[0]
     init_done.set()
+    from orbit_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache(os.environ.get("ORBIT_COMPILE_CACHE",
+                                        "~/.cache/orbit_tpu/xla"))
     on_accelerator = device.platform != "cpu"
     extra = {}
     fps_by_name = {}

@@ -188,6 +188,10 @@ class MultiStepLearner:
             args.checkpoint_dir, args.model_path)
         print_and_log(self.logfile, f"options: {vars(args)}")
         print_and_log(self.logfile, f"checkpoint dir: {self.checkpoint_dir}")
+        from orbit_tpu.utils.profiling import enable_compile_cache
+        cache = enable_compile_cache(getattr(args, "compile_cache", None))
+        if cache:
+            print_and_log(self.logfile, f"persistent compile cache: {cache}")
 
         np.random.seed(args.seed)
         self.rng = jax.random.PRNGKey(args.seed)

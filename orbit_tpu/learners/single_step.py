@@ -66,6 +66,10 @@ class SingleStepLearner:
         print_and_log(self.logfile, f"options: {vars(args)}")
         print_and_log(self.logfile, f"checkpoint dir: {self.checkpoint_dir}")
         print_and_log(self.logfile, f"jax devices: {jax.devices()}")
+        from orbit_tpu.utils.profiling import enable_compile_cache
+        cache = enable_compile_cache(getattr(args, "compile_cache", None))
+        if cache:
+            print_and_log(self.logfile, f"persistent compile cache: {cache}")
 
         random.seed(args.seed)
         np.random.seed(args.seed)

@@ -130,6 +130,11 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Write a jax.profiler device trace for the run here "
                              "(view in TensorBoard/Perfetto).")
+    parser.add_argument("--compile_cache", type=str,
+                        default="~/.cache/orbit_tpu/xla",
+                        help="JAX persistent compilation cache directory: repeat "
+                             "runs skip the 20-40s-per-program XLA compiles "
+                             "(one per episode bucket). Empty string disables.")
     parser.add_argument("--batch_videos", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="Predict all of a task's target videos in one device "

@@ -17,6 +17,28 @@ import time
 from typing import Iterator, Optional
 
 
+def enable_compile_cache(path: Optional[str]) -> Optional[str]:
+    """Point JAX's persistent compilation cache at ``path`` (``~`` expanded;
+    created if missing). Repeat driver/bench runs then reuse compiled XLA
+    programs instead of paying the 20-40s-per-program TPU compile for every
+    episode bucket. No-op (returns None) when ``path`` is falsy or the
+    backend rejects the config (old JAX)."""
+    if not path:
+        return None
+    import os
+
+    import jax
+
+    path = os.path.expanduser(path)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        return None
+    return path
+
+
 @contextlib.contextmanager
 def trace(profile_dir: Optional[str]) -> Iterator[None]:
     """jax.profiler trace when ``profile_dir`` is set; no-op otherwise."""

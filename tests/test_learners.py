@@ -35,6 +35,10 @@ def make_args(data_path, checkpoint_dir, **overrides):
         "--classifier": "proto",
         "--feature_extractor": "efficientnet_b0",
         "--learning_rate": "1e-3",
+        # keep the suite on the conftest cache dir (learner construction
+        # points the global jax compilation cache at --compile_cache)
+        "--compile_cache": os.environ.get("JAX_TEST_CACHE",
+                                          "/tmp/orbit_tpu_jax_cache"),
     }
     bools, multi = [], []
     for k, v in overrides.items():
