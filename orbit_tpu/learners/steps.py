@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import optax
 
 from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+from orbit_tpu.ops.tiny_attention import default_impl
 from orbit_tpu.utils.optim import cross_entropy
 
 FILM_REG_WEIGHT = 0.001  # reference: single-step-learner.py:204,233
@@ -115,8 +116,12 @@ def build_train_task(recogniser: SingleStepFewShotRecogniser, args,
     def train_task(variables, episode, rng):
         del rng  # non-LITE uses no per-task randomness on device
         params, rest = _split_variables(variables)
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, rest, episode)
+        # differentiated path: XLA ops (fused Pallas backwards overflow
+        # scoped VMEM on v5e and the recompute escape measures slower than
+        # XLA — see ops.tiny_attention.default_impl)
+        with default_impl("xla"):
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, rest, episode)
         return grads, loss, logits, new_stats
 
     return jax.jit(train_task) if jit else train_task
@@ -266,9 +271,14 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
             grads_acc, loss_acc, stats = carry
             rng_b, clips_b, labels_b, mask_b = xs
             grad_idxs = lite_grad_subset(rng_b, episode["context_mask"], n)
-            (loss, (logits, stats)), grads = grad_fn(
-                params, rest, stats, caches, episode,
-                grad_idxs, clips_b, labels_b, mask_b)
+            # differentiated path: XLA ops (the no-grad cache pass above
+            # keeps the fused Pallas forwards; fused backwards overflow
+            # scoped VMEM on v5e and the recompute escape measures slower
+            # than XLA — see ops.tiny_attention.default_impl)
+            with default_impl("xla"):
+                (loss, (logits, stats)), grads = grad_fn(
+                    params, rest, stats, caches, episode,
+                    grad_idxs, clips_b, labels_b, mask_b)
             return (tree_add(grads_acc, grads), loss_acc + loss, stats), logits
 
         # the loss carry must share the episode data's device-varying type

@@ -64,6 +64,34 @@ def force_impl(impl: str):
     finally:
         _IMPL_OVERRIDE = prev
 
+
+@contextlib.contextmanager
+def default_impl(impl: str):
+    """Soft trace-time default: like :func:`force_impl` but yields to any
+    override already in force (so tests/harnesses that force "pallas" or
+    "interpret" around a whole train step keep winning).
+
+    The learners wrap their *differentiated* step bodies in
+    ``default_impl("xla")``: on a real v5e the fused Pallas BACKWARD kernels
+    blow the 16 MB scoped-VMEM stack (the f32 dW accumulators for ViT-B's
+    (768,3072) GEMMs alone are 18.8 MB -> Mosaic compile error), and the
+    ``_PALLAS_BWD=False`` XLA-recompute escape pays Pallas-fwd + XLA-fwd +
+    XLA-bwd per grad chunk, which measures SLOWER than pure XLA on the LITE
+    train step (49.2 vs 41.0 ms/task-step, ViT-B/32 @224, v5e — PERF.md).
+    Forward-only paths (eval, the LITE stop-gradient cache pass built by
+    build_eval_fns / predict) never enter this context and keep the fused
+    kernels' 1.85x eval win.
+    """
+    global _IMPL_OVERRIDE
+    if _IMPL_OVERRIDE is not None:
+        yield
+        return
+    _IMPL_OVERRIDE = impl
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE = None
+
 # Batch rows per grid cell. 8 frames x 50 tokens x 2304 cols (bf16) is a
 # ~1.8 MB qkv block + 0.6 MB out block: comfortably inside VMEM with double
 # buffering, large enough to amortise DMA issue overhead.
