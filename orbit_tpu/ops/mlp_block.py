@@ -40,6 +40,15 @@ from orbit_tpu.ops.vma import (align_vma, match_cotangent_vma,
 
 _BLOCK_B = 8
 
+# The backward kernel's resident f32 dW accumulators (d x 4d + 4d x d =
+# ~18.9 MB for ViT-B) plus VMEM-resident bf16 weights exceed Mosaic's
+# default 16 MB scoped-vmem budget — measured on a real v5e: 27.18 MB
+# requested ("Ran out of memory in memory space vmem ... allocating on
+# stack"). v5e VMEM is 128 MB; raise the per-kernel cap for the backward
+# calls only (forward kernels fit the default and keep XLA's usual
+# double-buffering headroom).
+_BWD_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 def _erf_poly(x):
     # Abramowitz & Stegun 7.1.26 (f32), |err| <= 1.5e-7
@@ -164,18 +173,20 @@ def _mlp_bwd_kernel(ln_eps, x_ref, g_ref, gam_ref, bet_ref, w1_ref, b1_ref,
                               preferred_element_type=jnp.float32)
     dw2 = jax.lax.dot_general(hg, gb, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    db2 = jnp.sum(gf, axis=0)
+    # colsums stay 2D ((1, n) keepdims): Mosaic's hardware lowering is
+    # pickier about 1D vectors than interpret mode (tiny_attention notes)
+    db2 = jnp.sum(gf, axis=0, keepdims=True)
     # gelu'(h) = Phi(h) + h * phi(h)
     phi = jnp.exp(-0.5 * hpre * hpre) * _INV_SQRT_2PI
     dhpre = dhg * (0.5 * (1.0 + erf) + hpre * phi)
-    db1 = jnp.sum(dhpre, axis=0)
+    db1 = jnp.sum(dhpre, axis=0, keepdims=True)
     dhb = dhpre.astype(x_ref.dtype)
     dxn = jax.lax.dot_general(dhb, w1_ref[...], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dw1 = jax.lax.dot_general(xn, dhb, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dgam = jnp.sum(dxn * xhat, axis=0)
-    dbet = jnp.sum(dxn, axis=0)
+    dgam = jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dbet = jnp.sum(dxn, axis=0, keepdims=True)
     # LayerNorm backward (per row)
     dxhat = dxn * gam
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
@@ -190,10 +201,10 @@ def _mlp_bwd_kernel(ln_eps, x_ref, g_ref, gam_ref, bet_ref, w1_ref, b1_ref,
 
     dw1_ref[...] += dw1
     dw2_ref[...] += dw2
-    dgam_ref[...] += jnp.broadcast_to(dgam[None, :], dgam_ref.shape)
-    dbet_ref[...] += jnp.broadcast_to(dbet[None, :], dbet_ref.shape)
-    db1_ref[...] += jnp.broadcast_to(db1[None, :], db1_ref.shape)
-    db2_ref[...] += jnp.broadcast_to(db2[None, :], db2_ref.shape)
+    dgam_ref[...] += jnp.broadcast_to(dgam, dgam_ref.shape)
+    dbet_ref[...] += jnp.broadcast_to(dbet, dbet_ref.shape)
+    db1_ref[...] += jnp.broadcast_to(db1, db1_ref.shape)
+    db2_ref[...] += jnp.broadcast_to(db2, db2_ref.shape)
 
 
 def _pallas_mlp_bwd(x, ln_scale, ln_bias, w1, b1, w2, g, ln_eps,
@@ -240,6 +251,7 @@ def _pallas_mlp_bwd(x, ln_scale, ln_bias, w1, b1, w2, g, ln_eps,
             const(w1.shape), const((8, h4)),
             const(w2.shape), const((8, d)),
         ),
+        compiler_params=_BWD_COMPILER_PARAMS,
         interpret=interpret,
     )(*align_vma(x, g, row8(ln_scale, f32), row8(ln_bias, f32),
                  w1.astype(x.dtype), row8(b1, f32), w2.astype(x.dtype)))

@@ -97,6 +97,14 @@ def default_impl(impl: str):
 # buffering, large enough to amortise DMA issue overhead.
 _BLOCK_B = 8
 
+# Backward kernels keep f32 parameter-grad accumulators (e.g. the qkv dW is
+# d x 3d = ~7 MB f32 for ViT-B) resident in VMEM alongside the bf16 weights
+# and the recomputed intermediates; that exceeds Mosaic's default 16 MB
+# scoped-vmem budget on real hardware (see mlp_block._BWD_COMPILER_PARAMS
+# for the measured failure). v5e VMEM is 128 MB; raise the cap for backward
+# calls only.
+_BWD_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 # shard_map vma utilities (shared with mlp_block and future Pallas ops)
 from orbit_tpu.ops.vma import align_vma, match_cotangent_vma, out_struct  # noqa: E402
@@ -195,11 +203,15 @@ def xla_attention(qkv: jax.Array, num_heads: int) -> jax.Array:
     return out.reshape(n, s, d)
 
 
-def _attend_blocked_bwd(qkv, g, num_heads: int, s: int):
+def _attend_blocked_bwd(qkv, g, num_heads: int, s: int, write):
     """Backward of ``_attend_blocked`` on a flat (gs, 3d) qkv with cotangent
-    g (gs, d): recomputes the blocked softmax in VMEM and returns
-    (dqkv_parts, db_parts) — per-head f32 column pieces in qkv column order
-    ([q heads | k heads | v heads]) plus their f32 column sums.
+    g (gs, d): recomputes the blocked softmax in VMEM and emits per-head f32
+    gradient tiles via ``write(col_offset, tile)`` in qkv column order
+    ([q heads | k heads | v heads]). Callers store the tiles into a ref with
+    static column slices — the same pattern as the forward's out_ref writes.
+    (A ``jnp.concatenate`` assembly lowered fine in interpret mode but real
+    Mosaic rejects 1D/tile-crossing concats: "Input offsets outside of the
+    first tile".)
 
     The block-diagonal mask makes the cross-batch-row score gradients exactly
     zero (p = exp(-1e30) = 0 there, and ds = p * (...)), so the redundant
@@ -210,7 +222,6 @@ def _attend_blocked_bwd(qkv, g, num_heads: int, s: int):
     hd = d // num_heads
     scale = 1.0 / math.sqrt(hd)
     bias = _block_bias(gs, s)
-    dqs, dks, dvs = [], [], []
     for h in range(num_heads):
         q, k, v, p = _head_softmax(qkv, h, num_heads, bias)
         gh = g[:, h * hd:(h + 1) * hd]
@@ -227,22 +238,23 @@ def _attend_blocked_bwd(qkv, g, num_heads: int, s: int):
         # dk[j] = sum_i ds[i,j] q[i]
         dk = jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dqs.append(dq)
-        dks.append(dk)
-        dvs.append(dv)
-    parts = dqs + dks + dvs
-    return parts, [jnp.sum(t, axis=0) for t in parts]
+        write(h * hd, dq)
+        write(d + h * hd, dk)
+        write(2 * d + h * hd, dv)
 
 
 def _attn_bwd_kernel(num_heads: int, qkv_ref, g_ref, dqkv_ref):
     nb, s, d3 = qkv_ref.shape
     d = d3 // 3
     gs = nb * s
-    parts, _ = _attend_blocked_bwd(qkv_ref[...].reshape(gs, d3),
-                                   g_ref[...].reshape(gs, d),
-                                   num_heads, s)
-    dqkv_ref[...] = jnp.concatenate(parts, axis=1).reshape(
-        nb, s, d3).astype(dqkv_ref.dtype)
+
+    def write(off, t):
+        hd = t.shape[1]
+        dqkv_ref[:, :, off:off + hd] = t.reshape(nb, s, hd).astype(
+            dqkv_ref.dtype)
+
+    _attend_blocked_bwd(qkv_ref[...].reshape(gs, d3),
+                        g_ref[...].reshape(gs, d), num_heads, s, write)
 
 
 def _pallas_attention_bwd(qkv, g, num_heads: int, interpret: bool = False):
@@ -268,6 +280,7 @@ def _pallas_attention_bwd(qkv, g, num_heads: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((nb, s, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_BWD_COMPILER_PARAMS,
         interpret=interpret,
     )(qkv, g)
     return dqkv[:n] if pad else dqkv
@@ -376,10 +389,13 @@ def xla_qkv_attention(x, kernel, bias, num_heads: int):
 
 
 def _fused_qkv_bwd_kernel(num_heads: int, x_ref, g_ref, w_ref, b_ref,
-                          dx_ref, dw_ref, db_ref):
+                          dx_ref, dw_ref, db_ref, dqkv_scr):
     """dx per batch block; dW/db accumulated across the sequential grid in
     resident f32 VMEM blocks (constant index_map — revisited on every
-    consecutive step, the defined accumulation order)."""
+    consecutive step, the defined accumulation order). The per-head dqkv
+    tiles assemble in a (gs, 3d) f32 VMEM scratch via static column-slice
+    stores (Mosaic rejects concatenate-based assembly; see
+    _attend_blocked_bwd)."""
     nb, s, d = x_ref.shape
     gs = nb * s
     x = x_ref[...].reshape(gs, d)
@@ -387,10 +403,14 @@ def _fused_qkv_bwd_kernel(num_heads: int, x_ref, g_ref, w_ref, b_ref,
         x, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b_ref[0][None, :]).astype(
             x_ref.dtype)
-    parts, sums = _attend_blocked_bwd(qkv, g_ref[...].reshape(gs, d),
-                                      num_heads, s)
-    dqkv = jnp.concatenate(parts, axis=1).astype(x_ref.dtype)
-    db = jnp.concatenate(sums, axis=0)  # (3d,) f32
+
+    def write(off, t):
+        dqkv_scr[:, off:off + t.shape[1]] = t
+
+    _attend_blocked_bwd(qkv, g_ref[...].reshape(gs, d), num_heads, s, write)
+    dqkv_f = dqkv_scr[...]
+    dqkv = dqkv_f.astype(x_ref.dtype)
+    db = jnp.sum(dqkv_f, axis=0, keepdims=True)  # (1, 3d) f32
     # dx = dqkv @ W^T  (contract qkv columns with W's output dim)
     dx = jax.lax.dot_general(dqkv, w_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -405,7 +425,7 @@ def _fused_qkv_bwd_kernel(num_heads: int, x_ref, g_ref, w_ref, b_ref,
         db_ref[...] = jnp.zeros_like(db_ref)
 
     dw_ref[...] += dw
-    db_ref[...] += jnp.broadcast_to(db[None, :], db_ref.shape)
+    db_ref[...] += jnp.broadcast_to(db, db_ref.shape)
 
 
 def _pallas_qkv_attention_bwd(x, kernel, bias, g, num_heads: int,
@@ -446,6 +466,8 @@ def _pallas_qkv_attention_bwd(x, kernel, bias, g, num_heads: int,
             pl.BlockSpec((8, 3 * d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((nb * s, 3 * d), jnp.float32)],
+        compiler_params=_BWD_COMPILER_PARAMS,
         interpret=interpret,
     )(x, g, kb, b8)
     if pad:
