@@ -159,13 +159,16 @@ def torch_cpu_fps(name: str, frames: int = 32, runs: int = 5):
 
 
 def lite_train_step_time(name: str, ctx: int = 256, tgt: int = 128,
-                         batch: int = 64, lite: int = 16, way: int = 8,
+                         batch: int = 256, lite: int = 64, way: int = 8,
                          frame: int = 224):
     """Seconds per jitted LITE meta-training task step (ProtoNets head,
     learn_extractor, 224px bf16) on the default device — the hot loop of
     single-step-learner.py --mode train --with_lite (reference:
-    single-step-learner.py:212-243). On the ViTs this exercises the fused
-    Pallas forward AND backward kernels (their production default).
+    single-step-learner.py:212-243), at PROTOCOL SCALE (ctx 256 / tgt 128 /
+    batch 256 / lite 64, the same shape as scripts/bench_train.py so the
+    numbers are directly comparable to PERF.md's crossover table). At this
+    batch the ViTs run the fused Pallas forward AND backward kernels —
+    their production default per learners.steps.train_impl_scope.
 
     Two-point timing with a forced readback, like measure_fps."""
     import jax
@@ -279,10 +282,12 @@ def main():
         if on_accelerator:  # v5e peak ~197 TFLOP/s bf16 (PERF.md)
             extra[f"{name}_mfu_pct"] = round(100.0 * tflops / 197.0, 1)
 
-    # LITE meta-training task step (records the Pallas fwd+bwd kernel path
-    # on real hardware; PERF.md "meta-training step"). Never allowed to
-    # zero the headline: failures degrade to an _error marker.
+    # LITE meta-training task step at protocol scale (ctx 256 / tgt 128 /
+    # batch 256 / lite 64 — records the Pallas fwd+bwd kernel path on real
+    # hardware; PERF.md "ViT train path"). Never allowed to zero the
+    # headline: failures degrade to an _error marker.
     if on_accelerator:
+        extra["lite_train_shape"] = "ctx256/tgt128/batch256/lite64"
         for name in ("vit_b_32", "efficientnet_b0"):
             for attempt in (0, 1):
                 try:

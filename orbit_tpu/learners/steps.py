@@ -33,6 +33,7 @@ reproduce it by building the cache from the fully-cached task embedding).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -45,6 +46,32 @@ from orbit_tpu.ops.tiny_attention import default_impl
 from orbit_tpu.utils.optim import cross_entropy
 
 FILM_REG_WEIGHT = 0.001  # reference: single-step-learner.py:204,233
+
+# Measured crossover for the fused Pallas forward+backward kernels on the
+# differentiated train path (ViT-B/32 @224 bf16, real v5e — PERF.md "ViT
+# train path"): at the protocol-scale dispatch batch of 256 the fused
+# fwd+bwd step wins (125.5 vs 131.7 ms/task-step); at batch 32 the kernel
+# grids are too short to amortise and XLA wins (40.9 vs 48.6 ms). The
+# boundary sits between those measurements; 64 is the smallest batch at
+# which the kernels were observed at parity-or-better.
+PALLAS_BWD_MIN_BATCH = 64
+
+
+def train_impl_scope(batch_size: int):
+    """Trace-time implementation scope for *differentiated* step bodies.
+
+    At or above :data:`PALLAS_BWD_MIN_BATCH` dispatch rows the body keeps
+    the module defaults — on TPU that is the fused Pallas forward AND
+    backward kernels (ops/tiny_attention.py, ops/mlp_block.py), the
+    measured-fastest train path at protocol scale. Below the crossover the
+    body is traced with the XLA reference ops instead. Either way an
+    explicit ``force_impl()`` override already in effect still wins
+    (``default_impl`` yields to it), so benchmarks and parity tests can
+    pin any implementation around a whole step.
+    """
+    if batch_size >= PALLAS_BWD_MIN_BATCH:
+        return contextlib.nullcontext()
+    return default_impl("xla")
 
 
 def tree_add(a, b):
@@ -116,10 +143,10 @@ def build_train_task(recogniser: SingleStepFewShotRecogniser, args,
     def train_task(variables, episode, rng):
         del rng  # non-LITE uses no per-task randomness on device
         params, rest = _split_variables(variables)
-        # differentiated path: XLA ops (fused Pallas backwards overflow
-        # scoped VMEM on v5e and the recompute escape measures slower than
-        # XLA — see ops.tiny_attention.default_impl)
-        with default_impl("xla"):
+        # differentiated path: fused Pallas fwd+bwd kernels at protocol-
+        # scale dispatch batches, XLA below the measured crossover
+        # (train_impl_scope; PERF.md "ViT train path")
+        with train_impl_scope(args.batch_size):
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, rest, episode)
         return grads, loss, logits, new_stats
@@ -271,11 +298,10 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
             grads_acc, loss_acc, stats = carry
             rng_b, clips_b, labels_b, mask_b = xs
             grad_idxs = lite_grad_subset(rng_b, episode["context_mask"], n)
-            # differentiated path: XLA ops (the no-grad cache pass above
-            # keeps the fused Pallas forwards; fused backwards overflow
-            # scoped VMEM on v5e and the recompute escape measures slower
-            # than XLA — see ops.tiny_attention.default_impl)
-            with default_impl("xla"):
+            # differentiated path: fused Pallas fwd+bwd kernels at
+            # protocol-scale dispatch batches (--batch_size >= 64), XLA
+            # below the measured crossover (train_impl_scope; PERF.md)
+            with train_impl_scope(batch_size):
                 (loss, (logits, stats)), grads = grad_fn(
                     params, rest, stats, caches, episode,
                     grad_idxs, clips_b, labels_b, mask_b)

@@ -71,16 +71,17 @@ def default_impl(impl: str):
     override already in force (so tests/harnesses that force "pallas" or
     "interpret" around a whole train step keep winning).
 
-    The learners wrap their *differentiated* step bodies in
-    ``default_impl("xla")``: on a real v5e the fused Pallas BACKWARD kernels
-    blow the 16 MB scoped-VMEM stack (the f32 dW accumulators for ViT-B's
-    (768,3072) GEMMs alone are 18.8 MB -> Mosaic compile error), and the
-    ``_PALLAS_BWD=False`` XLA-recompute escape pays Pallas-fwd + XLA-fwd +
-    XLA-bwd per grad chunk, which measures SLOWER than pure XLA on the LITE
-    train step (49.2 vs 41.0 ms/task-step, ViT-B/32 @224, v5e — PERF.md).
+    The learners' *differentiated* step bodies select their implementation
+    by dispatch batch size (``learners.steps.train_impl_scope``): at
+    protocol-scale batches (>= 64) the fused Pallas forward+backward
+    kernels are the measured-fastest train path (125.5 vs 131.7 ms
+    /task-step at ctx 256 / batch 256, ViT-B/32 @224 v5e — PERF.md "ViT
+    train path"; the backward kernels run under a raised 100 MB scoped-VMEM
+    budget, ``_BWD_COMPILER_PARAMS``), while at tiny batches the kernel
+    grids are too short to amortise and the body is traced with
+    ``default_impl("xla")`` instead (40.9 vs 48.6 ms at batch 32).
     Forward-only paths (eval, the LITE stop-gradient cache pass built by
-    build_eval_fns / predict) never enter this context and keep the fused
-    kernels' 1.85x eval win.
+    build_eval_fns / predict) always keep the fused kernels' 1.85x win.
     """
     global _IMPL_OVERRIDE
     if _IMPL_OVERRIDE is not None:
