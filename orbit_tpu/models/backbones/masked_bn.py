@@ -42,7 +42,7 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool,
-                 mask: Optional[jnp.ndarray] = None):
+                 mask: Optional[jnp.ndarray] = None, fold: bool = False):
         features = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((features,), jnp.float32))
@@ -51,8 +51,26 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
 
+        if fold:
+            # return the eval affine (a, b) WITHOUT applying it, for callers
+            # that fuse it into an adjacent op (ops/depthwise.fused_dw_act);
+            # registers the identical param/variable tree as the apply path
+            if not use_running_average:
+                raise ValueError("fold=True requires running statistics")
+            a = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return a, bias - ra_mean.value * a
+
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            # Eval path: fold to a per-channel affine computed in f32 and
+            # applied in compute dtype. Mathematically identical to
+            # (x - mean) * rsqrt(var + eps) * scale + bias, but the tensor
+            # never round-trips through float32 — on a bf16 backbone the
+            # f32 upcast between every conv doubled HBM traffic and broke
+            # XLA's conv-epilogue fusion (measured on EfficientNet-B0's
+            # eval forward: scripts/bench_effnet_variants.py / PERF.md).
+            a = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            b = bias - ra_mean.value * a
+            return x * a.astype(self.dtype) + b.astype(self.dtype)
         else:
             xf = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))

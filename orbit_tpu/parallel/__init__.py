@@ -1,6 +1,7 @@
 from orbit_tpu.parallel.episode_dp import EpisodeDataParallel, make_mesh
 from orbit_tpu.parallel.finetune_dp import ShardedFineTune
 from orbit_tpu.parallel.query_sharding import ShardedQuery
+from orbit_tpu.parallel.task_dp import TaskParallelEval
 
 __all__ = ["EpisodeDataParallel", "ShardedFineTune", "ShardedQuery",
-           "make_mesh"]
+           "TaskParallelEval", "make_mesh"]

@@ -1,0 +1,137 @@
+"""Task-level eval parallelism: the CLU-VE outer loop across mesh lanes.
+
+The protocol's outer loop — 17 users x 50 tasks, each personalise+predict
+fully independent (reference: single-step-learner.py:314-357) — is the
+embarrassingly-parallel axis with the largest protocol-time win on a mesh.
+``--data_parallel`` at eval shards one video's frames
+(orbit_tpu/parallel/query_sharding.py); ``--task_parallel N`` instead runs N
+whole tasks concurrently, one per mesh lane: each lane personalises on its
+own context set and predicts its own stacked query block, with no
+collectives at all (the state and logits stay lane-local).
+
+Group assembly: consecutive tasks whose padded episodes share bucket shapes
+(context bucket, video-count bucket, frame bucket) are stacked on a leading
+task axis; a partial group is filled with duplicate lanes whose outputs the
+host discards. Recompilation is bounded by the bucket grid exactly as in
+episode-DP training (orbit_tpu/parallel/episode_dp.py).
+
+Per-task metric semantics (reference parity): the batched personalise /
+predict dispatches are timed once and divided by the number of real tasks /
+real frames in the group — the protocol's "time to personalise per task"
+and "inference time per frame" views stay well-defined (PERF.md).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from orbit_tpu.data.episodes import Episode, bucket_size, pad_rows
+from orbit_tpu.data.transforms import attach_frame_history
+from orbit_tpu.parallel.episode_dp import make_mesh
+
+# video-COUNT buckets: the number of target videos per task varies with way
+# and per-object clutter-video counts; bucketing it keeps the stacked query
+# block's shape (V_b * F_b) in a small grid
+VIDEO_COUNT_BUCKETS = (2, 4, 8, 16, 32, 64, 128, 256)
+
+
+@dataclass
+class QueryBlock:
+    """One task's target videos stacked into a single padded query tensor."""
+
+    clips: np.ndarray        # (V_b * F_b, T, H, W, 3) float32
+    frame_bucket: int        # F_b
+    video_bucket: int        # V_b
+    n_videos: int            # real videos
+    n_frames: List[int]      # real frames per video (len n_videos)
+
+
+def build_query_block(ep: Episode, clip_length: int,
+                      count_buckets: Sequence[int] = VIDEO_COUNT_BUCKETS
+                      ) -> QueryBlock:
+    """Stack a test episode's per-video frame stacks into one fixed-shape
+    query tensor: per-video frame history (data/transforms.py), videos
+    re-padded to the task's max frame bucket, video axis padded to a count
+    bucket."""
+    f_b = max(f.shape[0] for f in ep.video_frames)
+    v_b = bucket_size(len(ep.video_frames), count_buckets)
+    clips = [attach_frame_history(pad_rows(frames, f_b), clip_length)
+             for frames in ep.video_frames]
+    block = np.stack(clips)                      # (V, F_b, T, H, W, 3)
+    block = pad_rows(block, v_b)
+    return QueryBlock(
+        clips=block.reshape(v_b * f_b, *block.shape[2:]),
+        frame_bucket=f_b, video_bucket=v_b,
+        n_videos=len(ep.video_frames),
+        n_frames=[int(m.sum()) for m in ep.video_masks])
+
+
+def stack_eval_group(episodes: Sequence[Episode],
+                     blocks: Sequence[QueryBlock],
+                     dp: int) -> Dict[str, np.ndarray]:
+    """Stack a group of same-bucket test episodes (and their query blocks)
+    on a leading task axis, duplicating the first lane to fill a partial
+    group (duplicate lanes' outputs are discarded by the caller)."""
+    idx = [min(i, len(episodes) - 1) for i in range(dp)]
+    return {
+        "context_clips": np.stack([episodes[i].context_clips for i in idx]),
+        "context_labels": np.stack([episodes[i].context_labels for i in idx]),
+        "context_mask": np.stack([episodes[i].context_mask for i in idx]),
+        "class_mask": np.stack([episodes[i].class_mask for i in idx]),
+        "query_clips": np.stack([blocks[i].clips for i in idx]),
+    }
+
+
+class TaskParallelEval:
+    """Shard-mapped per-lane personalise + predict for groups of dp tasks.
+
+    Each lane holds exactly one task (local leading axis 1); the variables
+    enter replicated (P()) and everything else is sharded on the task axis.
+    No collectives: eval has no gradients and no cross-task reductions.
+    """
+
+    def __init__(self, recogniser, mesh: Optional[Mesh] = None,
+                 axis: str = "dp"):
+        self.mesh = mesh or make_mesh()
+        self.axis = axis
+        self.dp = self.mesh.devices.size
+
+        def local_personalise(variables, clips, labels, mask, class_mask):
+            state = recogniser.personalise(
+                variables, clips[0], labels[0], mask[0],
+                class_mask.shape[-1], train=False, with_grad=False)
+            # keep only what predict consumes ("film" may be None; None
+            # subtrees are static and stack-free)
+            keep = {"film": state["film"], "head": state["head"]}
+            return jax.tree_util.tree_map(lambda x: x[None], keep)
+
+        def local_predict(variables, state, clips, class_mask):
+            lane_state = jax.tree_util.tree_map(lambda x: x[0], state)
+            logits = recogniser.predict(
+                variables, lane_state, clips[0], class_mask=class_mask[0],
+                train=False, with_grad=False)
+            return logits[None]
+
+        self._personalise = jax.jit(jax.shard_map(
+            local_personalise, mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis)))
+        self._predict = jax.jit(jax.shard_map(
+            local_predict, mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=P(axis)))
+
+    def personalise(self, variables, batch: Dict[str, jnp.ndarray]):
+        """Batched task states for a stacked eval group (leading axis dp)."""
+        return self._personalise(variables, batch["context_clips"],
+                                 batch["context_labels"],
+                                 batch["context_mask"], batch["class_mask"])
+
+    def predict(self, variables, states, query_clips, class_mask):
+        """Batched (dp, V_b*F_b, C) logits for the group's query blocks."""
+        return self._predict(variables, states, query_clips, class_mask)

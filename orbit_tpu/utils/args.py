@@ -112,6 +112,12 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
                         help="Backbone matmul/conv dtype; heads always run float32.")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="Number of chips to shard episodes across (episode-data-parallel via shard_map).")
+    parser.add_argument("--task_parallel", type=int, default=1,
+                        help="Eval-time task-level parallelism: run N whole "
+                             "CLU-VE tasks concurrently, one per mesh lane "
+                             "(each personalise+predict is independent; "
+                             "orbit_tpu/parallel/task_dp.py). Results and "
+                             "results.json are identical to the serial loop.")
     parser.add_argument("--num_data_threads", type=int, default=4,
                         help="Host threads for JPEG decode in the data loader.")
     parser.add_argument("--num_hosts", type=int, default=0,
@@ -145,6 +151,14 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
                              "default (numerically identical to per-video dispatch, "
                              "tests/test_learners.py); --no-batch_videos restores "
                              "per-video dispatch.")
+    parser.add_argument("--episode_prefetch", type=int, default=1,
+                        help="Pipeline depth for host episode preparation "
+                             "(pad + dtype cast + host->device copy) under "
+                             "device compute: task t+1 is prepared on a "
+                             "background thread while the device computes "
+                             "task t. 0 disables (serial prepare). Each "
+                             "extra level holds one more task's device "
+                             "buffers resident.")
     parser.add_argument("--frame_cache", type=int, default=0,
                         help="Memoise up to N decoded frames across tasks in the "
                              "test/validation loaders. The CLU-VE protocol samples 50 "

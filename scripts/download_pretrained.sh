@@ -35,7 +35,13 @@ echo "$MANIFEST" | while IFS='|' read -r name file url; do
     out="$DEST/$file"
     if [ ! -f "$out" ]; then
         echo "downloading $name -> $out"
-        wget -q --show-progress -O "$out" "$url"
+        # delete partial/empty output on any failure so a dead network
+        # can't pin a bogus hash into the lock on a later run
+        if ! wget -q --show-progress -O "$out" "$url" || [ ! -s "$out" ]; then
+            rm -f "$out"
+            echo "ERROR: download failed for $name ($url)" >&2
+            exit 1
+        fi
     else
         echo "$name already present: $out"
     fi

@@ -18,9 +18,10 @@ REF_ARGS = "/root/reference/utils/args.py"
 # Flags this framework adds on top of the reference surface (TPU-native
 # features; every addition must be listed here deliberately).
 EXTRA_FLAGS = {
-    "--data_parallel", "--num_hosts", "--host_index", "--resume_from",
-    "--compute_dtype", "--frame_cache", "--batch_videos", "--no-batch_videos",
-    "--metrics", "--profile_dir", "--num_data_threads", "--prefetch_tasks",
+    "--data_parallel", "--task_parallel", "--num_hosts", "--host_index",
+    "--resume_from", "--compute_dtype", "--frame_cache", "--batch_videos",
+    "--no-batch_videos", "--metrics", "--profile_dir", "--num_data_threads",
+    "--prefetch_tasks", "--episode_prefetch",
     "--pretrained_extractor_path", "--compile_cache",
 }
 
