@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Task-level eval parallelism benchmark: tasks/sec vs mesh size.
+
+Measures the CLU-VE eval outer loop (personalise + predict per task,
+reference: single-step-learner.py:314-357) three ways:
+
+  - serial: one task per dispatch (the default eval loop's compute shape)
+  - task-DP: groups of N same-bucket tasks, one per mesh lane
+    (orbit_tpu/parallel/task_dp.py, --task_parallel N)
+
+and reports tasks/sec per mesh size plus the host-side group-assembly
+cost (build_query_block + stack_eval_group) per task.
+
+Honesty note: this box exposes one host CPU core and one real TPU chip,
+so mesh sizes > 1 here run on XLA's *virtual* CPU devices timesharing a
+single core — the numbers attest the task-DP path's overhead and
+semantics, not wall-clock speedup. Speedup on a real mesh follows from
+lane-locality: the shard_map has no collectives (every in_spec except the
+replicated variables is P("dp"); state and logits stay lane-local), so
+per-lane compute is byte-identical to serial and scaling is linear in
+lanes modulo the partial-group flushes measured here.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python scripts/bench_task_dp.py [--tasks 16] [--mesh 1 2 4 8]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", type=int, default=16)
+    ap.add_argument("--mesh", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--frame-size", type=int, default=64)
+    ap.add_argument("--way", type=int, default=4)
+    ap.add_argument("--ctx", type=int, default=16, help="context clip bucket")
+    ap.add_argument("--videos", type=int, default=4, help="videos per task")
+    ap.add_argument("--frames", type=int, default=8, help="frames per video")
+    args = ap.parse_args()
+
+    import jax
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var once registered
+    # (CLAUDE.md); force the virtual CPU mesh through the config API instead
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from orbit_tpu.data.episodes import Episode, pad_rows
+    from orbit_tpu.learners.steps import build_eval_fns
+    from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
+    from orbit_tpu.parallel import TaskParallelEval
+    from orbit_tpu.parallel.episode_dp import make_mesh
+    from orbit_tpu.parallel.task_dp import build_query_block, stack_eval_group
+
+    hw = args.frame_size
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", classifier="proto",
+        adapt_features=False, clip_length=1, batch_size=256,
+        dtype=jnp.bfloat16)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=hw)
+
+    def make_task(i):
+        r = np.random.RandomState(i)
+        return Episode(
+            context_clips=r.rand(args.ctx, 1, hw, hw, 3).astype(np.float32),
+            context_labels=(np.arange(args.ctx) % args.way).astype(np.int32),
+            context_mask=np.ones(args.ctx, np.float32),
+            num_classes=16,
+            class_mask=(np.arange(16) < args.way).astype(np.float32),
+            way=args.way,
+            video_frames=[pad_rows(
+                r.rand(args.frames, hw, hw, 3).astype(np.float32), args.frames)
+                for _ in range(args.videos)],
+            video_masks=[np.ones(args.frames, np.float32)
+                         for _ in range(args.videos)],
+            video_labels=[int(v % args.way) for v in range(args.videos)],
+            video_paths=[np.array([f"t{i}/v{v}/f{j}" for j in range(args.frames)])
+                         for v in range(args.videos)])
+
+    eps = [make_task(i) for i in range(args.tasks)]
+
+    # host-side group assembly cost (runs on the prefetch thread in prod)
+    t0 = time.perf_counter()
+    qbs = [build_query_block(e, clip_length=1) for e in eps]
+    _ = stack_eval_group(eps[:8], qbs[:8], 8)
+    assemble_ms = (time.perf_counter() - t0) / args.tasks * 1e3
+
+    out = {"tasks": args.tasks, "frame_px": hw,
+           "assemble_ms_per_task": round(assemble_ms, 2), "mesh": {}}
+
+    for dp in args.mesh:
+        if dp > len(jax.devices()):
+            continue
+        if dp == 1:
+            # the serial loop's compute: per-task personalise + one batched
+            # query dispatch (same jitted fns the eval driver uses)
+            pfn, dfn = build_eval_fns(rec)
+
+            def run_all():
+                for e, qb in zip(eps, qbs):
+                    s = pfn(variables, jnp.asarray(e.context_clips),
+                            jnp.asarray(e.context_labels),
+                            jnp.asarray(e.context_mask),
+                            jnp.asarray(e.class_mask))
+                    lg = dfn(variables, s, jnp.asarray(qb.clips),
+                             jnp.asarray(e.class_mask))
+                return np.asarray(lg)
+        else:
+            tpe = TaskParallelEval(rec, mesh=make_mesh(dp))
+
+            def run_all(tpe=tpe, dp=dp):
+                lg = None
+                for g0 in range(0, len(eps), dp):
+                    grp = eps[g0:g0 + dp]
+                    gqb = qbs[g0:g0 + dp]
+                    batch = {k: jnp.asarray(v) for k, v in
+                             stack_eval_group(grp, gqb, dp).items()}
+                    s = tpe.personalise(variables, batch)
+                    lg = tpe.predict(variables, s, batch["query_clips"],
+                                     batch["class_mask"])
+                return np.asarray(lg)
+
+        run_all()  # compile, untimed
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_all()
+            dt = time.perf_counter() - t0
+            best = max(best, args.tasks / dt)
+        out["mesh"][dp] = round(best, 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
