@@ -641,9 +641,18 @@ class SingleStepLearner:
             buf = []
             buf_key = None
 
-        for task_dict in queue.get_tasks():
+        # group assembly (pad + query-block build) rides the prefetch
+        # thread: it overlaps the device running the previous group
+        def prep(task_dict):
             ep = pad_episode(task_dict)
-            qb = build_query_block(ep, args.clip_length)
+            return ep, build_query_block(ep, args.clip_length)
+
+        depth = getattr(args, "episode_prefetch", 1)
+        prepared = (prefetch_prepared(queue.get_tasks(), prep,
+                                      depth=max(depth, tdp))
+                    if depth > 0
+                    else ((t, prep(t)) for t in queue.get_tasks()))
+        for task_dict, (ep, qb) in prepared:
             key = (ep.context_clips.shape, qb.clips.shape)
             if buf and key != buf_key:
                 flush()  # bucket-shape change: run the partial group

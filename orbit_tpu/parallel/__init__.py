@@ -1,7 +1,7 @@
 from orbit_tpu.parallel.episode_dp import EpisodeDataParallel, make_mesh
 from orbit_tpu.parallel.finetune_dp import ShardedFineTune
 from orbit_tpu.parallel.query_sharding import ShardedQuery
-from orbit_tpu.parallel.task_dp import TaskParallelEval
+from orbit_tpu.parallel.task_dp import TaskParallelEval, TaskParallelFineTune
 
 __all__ = ["EpisodeDataParallel", "ShardedFineTune", "ShardedQuery",
-           "TaskParallelEval", "make_mesh"]
+           "TaskParallelEval", "TaskParallelFineTune", "make_mesh"]

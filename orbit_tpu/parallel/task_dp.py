@@ -135,3 +135,63 @@ class TaskParallelEval:
     def predict(self, variables, states, query_clips, class_mask):
         """Batched (dp, V_b*F_b, C) logits for the group's query blocks."""
         return self._predict(variables, states, query_clips, class_mask)
+
+
+class TaskParallelFineTune:
+    """Task-level parallelism for the FineTuner protocol (multi-step).
+
+    Each mesh lane runs one whole task's INNER GRADIENT LOOP —
+    ``personalize_num_grad_steps`` steps of Adam/SGD on its own head/FiLM
+    params over its own context set — then predicts its own query block.
+    This is the orthogonal axis to ``finetune_dp.ShardedFineTune`` (which
+    shards ONE task's context/query rows across the mesh): here nothing
+    crosses lanes, so there are no collectives and the per-lane program is
+    numerically the serial FineTuner (tests/test_task_parallel.py).
+
+    The inner scans' zero-initialised carries must be pcast to lane-varying
+    under strict-vma shard_map (``build_finetune_fns(vary_axis=...)``) —
+    otherwise JAX's replication-aware AD would psum the head gradients
+    ACROSS tasks, silently averaging different users' personalisation.
+
+    Reference protocol being parallelised: multi-step-learner.py:84-150
+    (one task at a time, a fresh model clone + optimiser per task).
+    """
+
+    def __init__(self, recogniser, args, mesh: Optional[Mesh] = None,
+                 axis: str = "dp"):
+        from orbit_tpu.learners.multi_step import build_finetune_fns
+
+        self.mesh = mesh or make_mesh()
+        self.axis = axis
+        self.dp = self.mesh.devices.size
+
+        personalise, predict = build_finetune_fns(
+            recogniser, args, jit=False, vary_axis=axis)
+
+        def local_personalise(variables, clips, labels, mask, class_mask):
+            tp = personalise(variables, clips[0], labels[0], mask[0],
+                             class_mask[0])
+            return jax.tree_util.tree_map(lambda x: x[None], tp)
+
+        def local_predict(variables, tp, clips, class_mask):
+            lane_tp = jax.tree_util.tree_map(lambda x: x[0], tp)
+            return predict(variables, lane_tp, clips[0], class_mask[0])[None]
+
+        self._personalise = jax.jit(jax.shard_map(
+            local_personalise, mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis)))
+        self._predict = jax.jit(jax.shard_map(
+            local_predict, mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=P(axis)))
+
+    def personalise(self, variables, batch: Dict[str, jnp.ndarray]):
+        """Batched per-lane task_params for a stacked eval group."""
+        return self._personalise(variables, batch["context_clips"],
+                                 batch["context_labels"],
+                                 batch["context_mask"], batch["class_mask"])
+
+    def predict(self, variables, task_params, query_clips, class_mask):
+        """Batched (dp, V_b*F_b, C) logits for the group's query blocks."""
+        return self._predict(variables, task_params, query_clips, class_mask)

@@ -116,7 +116,9 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
                         help="Eval-time task-level parallelism: run N whole "
                              "CLU-VE tasks concurrently, one per mesh lane "
                              "(each personalise+predict is independent; "
-                             "orbit_tpu/parallel/task_dp.py). Results and "
+                             "orbit_tpu/parallel/task_dp.py). Works on both "
+                             "drivers — the FineTuner runs N whole inner "
+                             "gradient loops concurrently. Results and "
                              "results.json are identical to the serial loop.")
     parser.add_argument("--num_data_threads", type=int, default=4,
                         help="Host threads for JPEG decode in the data loader.")

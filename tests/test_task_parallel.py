@@ -104,3 +104,82 @@ def test_driver_results_json_identical_to_serial(orbit_fixture_tree,
             results[label] = json.load(f)
 
     assert results["taskdp"] == results["serial"]
+
+
+@pytest.mark.parametrize("adapt_features", [False, True])
+def test_task_parallel_finetune_matches_serial(adapt_features):
+    """FineTuner task-DP: each lane's full inner gradient loop (task_params
+    AND query logits) must equal the serial FineTuner's for its task —
+    including a duplicate fill lane. Covers both inner-loop code paths:
+    frozen-backbone head finetuning and FiLM finetuning (the vary_axis
+    pcast guards the scan carries in both)."""
+    from tests.test_finetune_dp import make_args as make_ft_args
+    from orbit_tpu.learners.multi_step import build_finetune_fns
+    from orbit_tpu.models.recognisers import MultiStepFewShotRecogniser
+    from orbit_tpu.parallel import TaskParallelFineTune
+
+    args = make_ft_args(adapt_features, steps=2, batch_size=6)
+    rec = MultiStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", classifier="linear",
+        adapt_features=adapt_features, batch_size=args.batch_size)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=32)
+
+    rng = np.random.default_rng(5)
+    # 3 real tasks on 4 lanes -> one duplicate fill lane
+    eps = [_episode(rng, way=3, n_ctx=8, videos=[5, 3]),
+           _episode(rng, way=3, n_ctx=8, videos=[4, 6]),
+           _episode(rng, way=3, n_ctx=8, videos=[2, 8])]
+    qbs = [build_query_block(e, clip_length=1) for e in eps]
+
+    tpf = TaskParallelFineTune(rec, args, mesh=make_mesh(4))
+    batch = {k: jnp.asarray(v)
+             for k, v in stack_eval_group(eps, qbs, 4).items()}
+    tps = tpf.personalise(variables, batch)
+    logits = np.asarray(tpf.predict(variables, tps, batch["query_clips"],
+                                    batch["class_mask"]))
+
+    personalise, predict = build_finetune_fns(rec, args)
+    for i, (ep, qb) in enumerate(zip(eps, qbs)):
+        ref_tp = personalise(variables, jnp.asarray(ep.context_clips),
+                             jnp.asarray(ep.context_labels),
+                             jnp.asarray(ep.context_mask),
+                             jnp.asarray(ep.class_mask))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a)[i], np.asarray(b), rtol=2e-4, atol=2e-5),
+            tps, ref_tp)
+        lane = logits[i].reshape(qb.video_bucket, qb.frame_bucket, -1)
+        for vi, frames in enumerate(ep.video_frames):
+            ref = np.asarray(predict(variables, ref_tp,
+                                     jnp.asarray(frames[:, None]),
+                                     jnp.asarray(ep.class_mask)))
+            n_fr = qb.n_frames[vi]
+            np.testing.assert_allclose(lane[vi][:n_fr], ref[:n_fr],
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_finetuner_driver_results_json_identical_to_serial(
+        orbit_fixture_tree, tmp_path_factory):
+    """FineTuner --task_parallel 2 end to end: evaluator order, rollups and
+    results.json match the serial multi-step protocol exactly."""
+    from tests.test_learners import make_args
+    from orbit_tpu.learners import MultiStepLearner
+
+    root = tmp_path_factory.mktemp("root")
+    src = os.path.realpath(orbit_fixture_tree)
+    for mode in ("train", "validation", "test"):
+        os.symlink(src, root / mode)
+
+    results = {}
+    for label, tp in (("serial", 1), ("taskdp", 2)):
+        args = make_args(str(root), str(tmp_path_factory.mktemp("ck")),
+                         mode="test", learner="multi-step-learner",
+                         classifier="linear", personalize_num_grad_steps=2,
+                         personalize_learning_rate=0.1, task_parallel=tp,
+                         num_test_tasks=2)
+        learner = MultiStepLearner(args)
+        learner.run()
+        with open(learner.test_evaluator.json_results_path) as f:
+            results[label] = json.load(f)
+
+    assert results["taskdp"] == results["serial"]
