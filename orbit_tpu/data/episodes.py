@@ -134,28 +134,59 @@ def prefetch_prepared(tasks, prepare, depth: int = 1):
     (typically pad + cast + ``jax.device_put``) for the NEXT task while the
     consumer computes on the current one, yielding ``(task_dict, prepared)``
     pairs in order. ``depth`` bounds how many prepared episodes (device
-    buffers included) may be resident ahead of the consumer.
+    buffers included) may be resident ahead of the consumer; ``depth <= 0``
+    degrades to the serial loop (no thread).
+
+    If the consumer abandons the generator early (step-loop exception,
+    partial iteration), the generator's ``finally`` signals the producer to
+    stop and drains the queue, so prepared tasks' device buffers are freed
+    and the thread exits instead of blocking on a full queue forever.
     """
+    if depth <= 0:
+        for task in tasks:
+            yield (task, prepare(task))
+        return
+
     import queue as _q
     import threading
 
-    out: "_q.Queue" = _q.Queue(maxsize=max(1, depth))
+    out: "_q.Queue" = _q.Queue(maxsize=depth)
+    stop = threading.Event()
     sentinel = object()
+
+    def put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                out.put(item, timeout=0.1)
+                return True
+            except _q.Full:
+                continue
+        return False
 
     def produce():
         try:
             for task in tasks:
-                out.put((task, prepare(task)))
+                if stop.is_set() or not put((task, prepare(task))):
+                    return
         except BaseException as e:  # surfaced on the consumer side
-            out.put(e)
+            put(e)
         finally:
-            out.put(sentinel)
+            put(sentinel)
 
     threading.Thread(target=produce, daemon=True).start()
-    while True:
-        got = out.get()
-        if got is sentinel:
-            return
-        if isinstance(got, BaseException):
-            raise got
-        yield got
+    try:
+        while True:
+            got = out.get()
+            if got is sentinel:
+                return
+            if isinstance(got, BaseException):
+                raise got
+            yield got
+    finally:
+        stop.set()
+        try:  # unblock a pending producer put; drop its device buffers
+            while True:
+                out.get_nowait()
+        except _q.Empty:
+            pass

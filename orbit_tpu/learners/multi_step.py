@@ -379,21 +379,21 @@ class MultiStepLearner:
         warmed = set()
 
         def prepare(task_dict):
-            # pad + H2D for task t+1 on the prefetch thread while the device
-            # runs task t's inner finetune loop (round-3 verdict, weak #5)
+            # pad + context H2D for task t+1 on the prefetch thread while the
+            # device runs task t's inner finetune loop (round-3 verdict,
+            # weak #5). Query videos stay HOST-side here and transfer one at
+            # a time in the loop below — shipping the whole list would pin
+            # V x frame-bucket x (1 + prefetch depth) tensors in HBM
             ep = pad_episode(task_dict)
             ctx = (jnp.asarray(ep.context_clips), jnp.asarray(ep.context_labels),
                    jnp.asarray(ep.context_mask), jnp.asarray(ep.class_mask))
-            query = [jnp.asarray(attach_frame_history(fr, args.clip_length))
+            query = [attach_frame_history(fr, args.clip_length)
                      for fr in ep.video_frames]
             return ep, ctx, query
 
         from orbit_tpu.data.episodes import prefetch_prepared
-        depth = getattr(args, "episode_prefetch", 1)
-        prepared = (prefetch_prepared(self.test_queue.get_tasks(), prepare,
-                                      depth=depth)
-                    if depth > 0
-                    else ((t, prepare(t)) for t in self.test_queue.get_tasks()))
+        prepared = prefetch_prepared(self.test_queue.get_tasks(), prepare,
+                                     depth=getattr(args, "episode_prefetch", 1))
         for step, (task_dict, (ep, ctx, query)) in enumerate(prepared):
             evaluator.set_task_object_list(task_dict["object_list"])
             if ("ctx", ep.context_clips.shape) not in warmed:
@@ -418,6 +418,8 @@ class MultiStepLearner:
             for clips, mask, label, paths in zip(query, ep.video_masks,
                                                  ep.video_labels, ep.video_paths):
                 n_real = int(mask.sum())
+                # per-video H2D, outside the timed region (see prepare)
+                clips = jnp.asarray(clips)
                 if ("pred", clips.shape) not in warmed:  # untimed compile
                     np.asarray(self.predict_fn(self.variables, task_params, clips,
                                                jnp.asarray(ep.class_mask)))
@@ -544,10 +546,16 @@ class MultiStepLearner:
                 task_dict, ep, qb = buf[i]
                 evaluator.set_task_object_list(task_dict["object_list"])
                 evaluator.log_time(per_task_personalise, "personalise")
-                ctx = (jnp.asarray(ep.context_clips),
-                       jnp.asarray(ep.context_labels),
-                       jnp.asarray(ep.context_mask),
-                       jnp.asarray(ep.class_mask))
+                # abstract shapes only: the MACs analysis never executes,
+                # so a real H2D of the context here would be pure waste
+                ctx = (jax.ShapeDtypeStruct(ep.context_clips.shape,
+                                            ep.context_clips.dtype),
+                       jax.ShapeDtypeStruct(ep.context_labels.shape,
+                                            ep.context_labels.dtype),
+                       jax.ShapeDtypeStruct(ep.context_mask.shape,
+                                            ep.context_mask.dtype),
+                       jax.ShapeDtypeStruct(ep.class_mask.shape,
+                                            ep.class_mask.dtype))
                 evaluator.ops_counter.add_macs(self._personalise_macs(
                     evaluator.ops_counter, ctx,
                     int(ep.context_mask.sum())) / 2.0)
@@ -580,10 +588,9 @@ class MultiStepLearner:
             return ep, build_query_block(ep, args.clip_length)
 
         depth = getattr(args, "episode_prefetch", 1)
-        prepared = (prefetch_prepared(self.test_queue.get_tasks(), prep,
-                                      depth=max(depth, tdp))
-                    if depth > 0
-                    else ((t, prep(t)) for t in self.test_queue.get_tasks()))
+        prepared = prefetch_prepared(
+            self.test_queue.get_tasks(), prep,
+            depth=max(depth, tdp) if depth > 0 else depth)
         for task_dict, (ep, qb) in prepared:
             key = (ep.context_clips.shape, qb.clips.shape)
             if buf and key != buf_key:

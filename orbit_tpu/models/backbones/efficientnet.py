@@ -59,11 +59,9 @@ DW_IMPL = "xla"
 DW_FUSED = False
 
 
-def _tf_same_pads(in_size: int, k: int, s: int) -> Tuple[int, int]:
-    """TF SAME padding (lo, hi) for one spatial dim (timm Conv2dSame)."""
-    out = -(-in_size // s)
-    pad = max((out - 1) * s + k - in_size, 0)
-    return pad // 2, pad - pad // 2
+# TF SAME padding shared with the Pallas MBConv-tail kernel so the two
+# lowerings can never disagree on padding (ops/depthwise.py)
+from orbit_tpu.ops.depthwise import tf_same_pads as _tf_same_pads
 
 
 class DepthwiseConv(nn.Module):

@@ -42,7 +42,7 @@ from orbit_tpu.ops.vma import align_vma, match_cotangent_vma, out_struct
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
 
-def _tf_same_pads(in_size: int, k: int, s: int):
+def tf_same_pads(in_size: int, k: int, s: int):
     """TF SAME padding (lo, hi) for one spatial dim (timm Conv2dSame)."""
     out = -(-in_size // s)
     pad = max((out - 1) * s + k - in_size, 0)
@@ -117,8 +117,8 @@ def _pallas_fused_dw(x, w, a1, b1, a2, b2, stride, act1, act2,
                      interpret=False):
     n, h, wd, c = x.shape
     k = w.shape[0]
-    ph_lo, ph_hi = _tf_same_pads(h, k, stride)
-    pw_lo, pw_hi = _tf_same_pads(wd, k, stride)
+    ph_lo, ph_hi = tf_same_pads(h, k, stride)
+    pw_lo, pw_hi = tf_same_pads(wd, k, stride)
     xp = jnp.pad(x, ((0, 0), (ph_lo, ph_hi), (pw_lo, pw_hi), (0, 0)))
     hp, wp = h + ph_lo + ph_hi, wd + pw_lo + pw_hi
     oh, ow = -(-h // stride), -(-wd // stride)

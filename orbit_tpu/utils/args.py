@@ -159,8 +159,10 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
                              "device compute: task t+1 is prepared on a "
                              "background thread while the device computes "
                              "task t. 0 disables (serial prepare). Each "
-                             "extra level holds one more task's device "
-                             "buffers resident.")
+                             "extra level holds one more task's context "
+                             "(and, with --batch_videos, its stacked query "
+                             "block) resident in HBM; ragged-bucket query "
+                             "videos always transfer one at a time.")
     parser.add_argument("--frame_cache", type=int, default=0,
                         help="Memoise up to N decoded frames across tasks in the "
                              "test/validation loaders. The CLU-VE protocol samples 50 "

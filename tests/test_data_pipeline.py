@@ -441,3 +441,28 @@ def test_prefetch_prepared_propagates_errors():
     assert next(gen) == (1, 1)
     with pytest.raises(ValueError, match="bad episode"):
         list(gen)
+
+
+def test_prefetch_prepared_consumer_abandonment_stops_producer():
+    """If the consumer abandons the generator early (step-loop exception,
+    partial iteration), closing it must stop the producer thread instead of
+    leaving it blocked on a full queue holding device buffers forever."""
+    import time as _time
+
+    from orbit_tpu.data.episodes import prefetch_prepared
+
+    prepared = []
+
+    def prepare(t):
+        prepared.append(t)
+        return t
+
+    gen = prefetch_prepared(iter(range(100)), prepare, depth=1)
+    assert next(gen)[0] == 0
+    gen.close()  # GeneratorExit -> finally sets the stop flag + drains
+
+    _time.sleep(0.5)  # give the producer time to notice
+    n = len(prepared)
+    _time.sleep(0.5)
+    assert len(prepared) == n, "producer kept producing after close"
+    assert n < 100, "producer ran the whole epoch ahead of a dead consumer"
