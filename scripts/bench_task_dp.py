@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--ctx", type=int, default=16, help="context clip bucket")
     ap.add_argument("--videos", type=int, default=4, help="videos per task")
     ap.add_argument("--frames", type=int, default=8, help="frames per video")
+    ap.add_argument("--learner", choices=["single_step", "multi_step"],
+                    default="single_step",
+                    help="multi_step measures the FineTuner outer loop: each "
+                         "lane runs a whole task's inner gradient loop "
+                         "(TaskParallelFineTune)")
+    ap.add_argument("--grad-steps", type=int, default=5,
+                    help="FineTuner inner steps (multi_step only)")
     args = ap.parse_args()
 
     import jax
@@ -60,10 +67,28 @@ def main():
     from orbit_tpu.parallel.task_dp import build_query_block, stack_eval_group
 
     hw = args.frame_size
-    rec = SingleStepFewShotRecogniser(
-        feature_extractor_name="efficientnet_b0", classifier="proto",
-        adapt_features=False, clip_length=1, batch_size=256,
-        dtype=jnp.bfloat16)
+    if args.learner == "multi_step":
+        from types import SimpleNamespace
+
+        from orbit_tpu.learners.multi_step import build_finetune_fns
+        from orbit_tpu.models.recognisers import MultiStepFewShotRecogniser
+        from orbit_tpu.parallel import TaskParallelFineTune
+
+        ft_args = SimpleNamespace(
+            personalize_num_grad_steps=args.grad_steps, batch_size=256,
+            personalize_optimizer="adam", personalize_learning_rate=0.01,
+            personalize_weight_decay=0.0, personalize_extractor_lr_scale=1.0,
+            personalize_epsilon=1e-8, personalize_betas=(0.9, 0.999),
+            personalize_momentum=0.0)
+        rec = MultiStepFewShotRecogniser(
+            feature_extractor_name="efficientnet_b0", classifier="linear",
+            adapt_features=False, clip_length=1, batch_size=256,
+            dtype=jnp.bfloat16)
+    else:
+        rec = SingleStepFewShotRecogniser(
+            feature_extractor_name="efficientnet_b0", classifier="proto",
+            adapt_features=False, clip_length=1, batch_size=256,
+            dtype=jnp.bfloat16)
     variables = rec.init(jax.random.PRNGKey(0), frame_size=hw)
 
     def make_task(i):
@@ -92,7 +117,7 @@ def main():
     _ = stack_eval_group(eps[:8], qbs[:8], 8)
     assemble_ms = (time.perf_counter() - t0) / args.tasks * 1e3
 
-    out = {"tasks": args.tasks, "frame_px": hw,
+    out = {"tasks": args.tasks, "frame_px": hw, "learner": args.learner,
            "assemble_ms_per_task": round(assemble_ms, 2), "mesh": {}}
 
     for dp in args.mesh:
@@ -101,16 +126,43 @@ def main():
         if dp == 1:
             # the serial loop's compute: per-task personalise + one batched
             # query dispatch (same jitted fns the eval driver uses)
-            pfn, dfn = build_eval_fns(rec)
+            if args.learner == "multi_step":
+                pfn_ft, dfn_ft = build_finetune_fns(rec, ft_args)
 
-            def run_all():
-                for e, qb in zip(eps, qbs):
-                    s = pfn(variables, jnp.asarray(e.context_clips),
-                            jnp.asarray(e.context_labels),
-                            jnp.asarray(e.context_mask),
-                            jnp.asarray(e.class_mask))
-                    lg = dfn(variables, s, jnp.asarray(qb.clips),
-                             jnp.asarray(e.class_mask))
+                def run_all():
+                    for e, qb in zip(eps, qbs):
+                        tp = pfn_ft(variables, jnp.asarray(e.context_clips),
+                                    jnp.asarray(e.context_labels),
+                                    jnp.asarray(e.context_mask),
+                                    jnp.asarray(e.class_mask))
+                        lg = dfn_ft(variables, tp, jnp.asarray(qb.clips),
+                                    jnp.asarray(e.class_mask))
+                    return np.asarray(lg)
+            else:
+                pfn, dfn = build_eval_fns(rec)
+
+                def run_all():
+                    for e, qb in zip(eps, qbs):
+                        s = pfn(variables, jnp.asarray(e.context_clips),
+                                jnp.asarray(e.context_labels),
+                                jnp.asarray(e.context_mask),
+                                jnp.asarray(e.class_mask))
+                        lg = dfn(variables, s, jnp.asarray(qb.clips),
+                                 jnp.asarray(e.class_mask))
+                    return np.asarray(lg)
+        elif args.learner == "multi_step":
+            tpf = TaskParallelFineTune(rec, ft_args, mesh=make_mesh(dp))
+
+            def run_all(tpf=tpf, dp=dp):
+                lg = None
+                for g0 in range(0, len(eps), dp):
+                    grp = eps[g0:g0 + dp]
+                    gqb = qbs[g0:g0 + dp]
+                    batch = {k: jnp.asarray(v) for k, v in
+                             stack_eval_group(grp, gqb, dp).items()}
+                    tp = tpf.personalise(variables, batch)
+                    lg = tpf.predict(variables, tp, batch["query_clips"],
+                                     batch["class_mask"])
                 return np.asarray(lg)
         else:
             tpe = TaskParallelEval(rec, mesh=make_mesh(dp))
