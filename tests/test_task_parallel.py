@@ -183,3 +183,48 @@ def test_finetuner_driver_results_json_identical_to_serial(
             results[label] = json.load(f)
 
     assert results["taskdp"] == results["serial"]
+
+
+def test_task_parallel_finetune_mixed_way_lanes():
+    """Lanes in one group may carry different real ways (2/3/4) under the
+    shared padded class bucket — each lane's head must train against its
+    own class_mask, not a group-wide one."""
+    from tests.test_finetune_dp import make_args as make_ft_args
+    from orbit_tpu.learners.multi_step import build_finetune_fns
+    from orbit_tpu.models.recognisers import MultiStepFewShotRecogniser
+    from orbit_tpu.parallel import TaskParallelFineTune
+
+    args = make_ft_args(False, steps=2, batch_size=6)
+    rec = MultiStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", classifier="linear",
+        adapt_features=False, batch_size=args.batch_size)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=32)
+
+    rng = np.random.default_rng(11)
+    eps = [_episode(rng, way=w, n_ctx=8, videos=[4, 6]) for w in (2, 3, 4)]
+    qbs = [build_query_block(e, clip_length=1) for e in eps]
+
+    tpf = TaskParallelFineTune(rec, args, mesh=make_mesh(4))
+    batch = {k: jnp.asarray(v)
+             for k, v in stack_eval_group(eps, qbs, 4).items()}
+    tps = tpf.personalise(variables, batch)
+    logits = np.asarray(tpf.predict(variables, tps, batch["query_clips"],
+                                    batch["class_mask"]))
+
+    personalise, predict = build_finetune_fns(rec, args)
+    for i, (ep, qb) in enumerate(zip(eps, qbs)):
+        ref_tp = personalise(variables, jnp.asarray(ep.context_clips),
+                             jnp.asarray(ep.context_labels),
+                             jnp.asarray(ep.context_mask),
+                             jnp.asarray(ep.class_mask))
+        lane = logits[i].reshape(qb.video_bucket, qb.frame_bucket, -1)
+        for vi, frames in enumerate(ep.video_frames):
+            ref = np.asarray(predict(variables, ref_tp,
+                                     jnp.asarray(frames[:, None]),
+                                     jnp.asarray(ep.class_mask)))
+            n_fr = qb.n_frames[vi]
+            np.testing.assert_allclose(lane[vi][:n_fr], ref[:n_fr],
+                                       rtol=2e-4, atol=2e-4)
+            # padded classes stay masked out per lane
+            way = ep.way
+            assert (lane[vi][:n_fr, way:] < -1e20).all()
