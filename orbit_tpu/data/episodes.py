@@ -7,7 +7,9 @@ personalise/predict pipeline compiles once per bucket:
 
 - context/target clip counts    -> next size in ``SIZE_BUCKETS``
 - per-video frame counts (test) -> next size in ``VIDEO_BUCKETS``
-- class count                   -> fixed ``max_way`` (default 16)
+- class count                   -> ``max_way``-sized steps (16 covers every
+  normal task; --with_cluster_labels tasks carry sparse global-vocabulary
+  ids and round up to 32/48/...)
 
 Masks make padding inert: padded rows carry label 0 and mask 0 (excluded from
 class means, covariance, CE and accuracy); padded classes are masked to -inf
@@ -73,12 +75,23 @@ def pad_episode(task: Dict, max_way: int = MAX_WAY,
     way = int(labels.max()) + 1 if labels.size else 0
     n_bucket = bucket_size(ctx.shape[0], size_buckets)
 
+    # class-axis bucket: normal tasks have dense 0..way-1 labels with
+    # way <= 16, but --with_cluster_labels tasks carry SPARSE ids from the
+    # split's global cluster vocabulary (up to ~100 — data/index.py), so
+    # the class axis rounds up in max_way-sized steps and the mask marks
+    # only the ids actually PRESENT (absent clusters -> -inf logits, never
+    # zero-count prototypes)
+    c_bucket = max_way * max(1, -(-way // max_way))
+    present = np.zeros(way, np.float32)
+    if labels.size:
+        present[np.unique(labels)] = 1.0
+
     episode = Episode(
         context_clips=pad_rows(ctx, n_bucket),
         context_labels=pad_rows(labels.astype(np.int32), n_bucket),
         context_mask=pad_rows(np.ones(ctx.shape[0], np.float32), n_bucket),
-        num_classes=max_way,
-        class_mask=pad_rows(np.ones(way, np.float32), max_way),
+        num_classes=c_bucket,
+        class_mask=pad_rows(present, c_bucket),
         way=way,
     )
 

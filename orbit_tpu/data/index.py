@@ -176,11 +176,9 @@ def build_index(
 
             kept = {"context": [], "target": []}
             kept_frames: Dict[str, List[str]] = {}
-            last_video_name = None
             for set_type, video_names in all_videos.items():
                 vtype = filter_params[set_type]["video_type"]
                 for video_name in video_names:
-                    last_video_name = video_name
                     video_path = os.path.join(obj_path, vtype, video_name)
                     frames = glob.glob(os.path.join(video_path, "*.jpg"))
                     if with_annotations or filter_params[set_type]["criteria"]:
@@ -198,8 +196,23 @@ def build_index(
                 index.obj2user[obj_id] = user
                 index.obj2name[obj_id] = obj_name
                 index.obj2vids[obj_id] = kept
-                if with_cluster_labels and last_video_name in vid2cluster:
-                    index.obj2cluster[obj_id] = cluster_id_map[vid2cluster[last_video_name]]
+                if with_cluster_labels:
+                    # look the cluster up via the object's KEPT videos (any of
+                    # them — they share the object); keying off the last
+                    # iterated name could hit a filtered-out video absent from
+                    # the json, and a silently missing entry would crash
+                    # sampling with a KeyError mid-protocol (or, all-missing,
+                    # silently fall back to per-task labels). Fail loudly at
+                    # index time instead.
+                    names = [os.path.basename(v)
+                             for v in kept["context"] + kept["target"]]
+                    hit = next((n for n in names if n in vid2cluster), None)
+                    if hit is None:
+                        raise KeyError(
+                            f"--with_cluster_labels: no video of object "
+                            f"'{user}/{obj_name}' appears in the cluster "
+                            f"label json (looked up {names[:3]}...)")
+                    index.obj2cluster[obj_id] = cluster_id_map[vid2cluster[hit]]
                 obj_id += 1
                 for video_path in kept["context"] + kept["target"]:
                     index.video2id[video_path] = vid_id

@@ -187,28 +187,52 @@ class DatasetQueue:
                 yield load(item, k)
             return
 
-        # producer thread: plan + decode ahead of the consumer
+        # producer thread: plan + decode ahead of the consumer. If the
+        # consumer abandons the generator (step-loop exception, partial
+        # iteration), the finally below stops the producer and drains the
+        # queue — otherwise the thread blocks on a full queue forever,
+        # pinning prefetch+1 fully-decoded task_dicts (same fix as
+        # data/episodes.py prefetch_prepared).
         out: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         _SENTINEL = object()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for item, k in annotated:
-                    out.put(load(item, k))
+                    if stop.is_set() or not put(load(item, k)):
+                        return
             except BaseException as e:  # surfaced on the consumer side
-                out.put(e)
+                put(e)
             finally:
-                out.put(_SENTINEL)
+                put(_SENTINEL)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            got = out.get()
-            if got is _SENTINEL:
-                break
-            if isinstance(got, BaseException):
-                raise got
-            yield got
+        try:
+            while True:
+                got = out.get()
+                if got is _SENTINEL:
+                    break
+                if isinstance(got, BaseException):
+                    raise got
+                yield got
+        finally:
+            stop.set()
+            try:  # unblock a pending producer put; drop its task_dicts
+                while True:
+                    out.get_nowait()
+            except _queue.Empty:
+                pass
 
 
 class UserEpisodicDatasetQueue(DatasetQueue):

@@ -396,13 +396,13 @@ class MultiStepLearner:
                                      depth=getattr(args, "episode_prefetch", 1))
         for step, (task_dict, (ep, ctx, query)) in enumerate(prepared):
             evaluator.set_task_object_list(task_dict["object_list"])
-            if ("ctx", ep.context_clips.shape) not in warmed:
+            if ("ctx", ep.context_clips.shape, ep.num_classes) not in warmed:
                 # one-time XLA compile per bucket, untimed: the challenge's
                 # time-to-personalise metric measures compute like the
                 # reference's (torch has no compile)
                 np.asarray(jax.tree_util.tree_leaves(
                     self.personalise_fn(self.variables, *ctx)["head"])[0])
-                warmed.add(("ctx", ep.context_clips.shape))
+                warmed.add(("ctx", ep.context_clips.shape, ep.num_classes))
             t1 = time.time()
             task_params = self.personalise_fn(self.variables, *ctx)
             # host readback = true sync (block_until_ready is a no-op through
@@ -420,10 +420,10 @@ class MultiStepLearner:
                 n_real = int(mask.sum())
                 # per-video H2D, outside the timed region (see prepare)
                 clips = jnp.asarray(clips)
-                if ("pred", clips.shape) not in warmed:  # untimed compile
+                if ("pred", clips.shape, ep.num_classes) not in warmed:  # untimed compile
                     np.asarray(self.predict_fn(self.variables, task_params, clips,
                                                jnp.asarray(ep.class_mask)))
-                    warmed.add(("pred", clips.shape))
+                    warmed.add(("pred", clips.shape, ep.num_classes))
                 t1 = time.time()
                 logits = np.asarray(self.predict_fn(self.variables, task_params, clips,
                                                     jnp.asarray(ep.class_mask)))
@@ -521,7 +521,8 @@ class MultiStepLearner:
             batch = {k: jnp.asarray(v) for k, v in
                      stack_eval_group(eps, qbs, tdp).items()}
             shape_key = (batch["context_clips"].shape,
-                         batch["query_clips"].shape)
+                         batch["query_clips"].shape,
+                         batch["class_mask"].shape)
             if shape_key not in warmed:
                 # one-time XLA compile runs untimed, like the serial loop
                 tp = tpf.personalise(self.variables, batch)
@@ -592,7 +593,7 @@ class MultiStepLearner:
             self.test_queue.get_tasks(), prep,
             depth=max(depth, tdp) if depth > 0 else depth)
         for task_dict, (ep, qb) in prepared:
-            key = (ep.context_clips.shape, qb.clips.shape)
+            key = (ep.context_clips.shape, qb.clips.shape, ep.num_classes)
             if buf and key != buf_key:
                 flush()  # bucket-shape change: run the partial group
             buf.append((task_dict, ep, qb))

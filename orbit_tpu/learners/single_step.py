@@ -439,13 +439,13 @@ class SingleStepLearner:
         for step, (task_dict, (ep, ctx, batched, query)) in enumerate(prepared):
             evaluator.set_task_object_list(task_dict["object_list"])
             evaluator.set_task_context_paths(task_dict["context_paths"])
-            if with_timing and ("ctx", ep.context_clips.shape) not in warmed:
+            if with_timing and ("ctx", ep.context_clips.shape, ep.num_classes) not in warmed:
                 # first task of a bucket shape pays the one-time XLA compile;
                 # run it untimed so the challenge's time-to-personalise metric
                 # measures compute, like the reference's (torch has no compile)
                 np.asarray(jax.tree_util.tree_leaves(
                     self.personalise_fn(self.variables, *ctx)["head"])[0])
-                warmed.add(("ctx", ep.context_clips.shape))
+                warmed.add(("ctx", ep.context_clips.shape, ep.num_classes))
             t1 = time.time()
             task_state = self.personalise_fn(self.variables, *ctx)
             if with_timing:
@@ -472,10 +472,10 @@ class SingleStepLearner:
                 # one dispatch for the whole task's query set (V, F, ...)
                 v, f = len(ep.video_frames), ep.video_frames[0].shape[0]
                 clips_dev = query
-                if with_timing and ("pred", clips_dev.shape) not in warmed:
+                if with_timing and ("pred", clips_dev.shape, ep.num_classes) not in warmed:
                     np.asarray(self.predict_fn(self.variables, task_state,
                                                clips_dev, class_mask))
-                    warmed.add(("pred", clips_dev.shape))
+                    warmed.add(("pred", clips_dev.shape, ep.num_classes))
                 t1 = time.time()
                 logits = np.asarray(self.predict_fn(self.variables, task_state,
                                                     clips_dev,
@@ -501,10 +501,10 @@ class SingleStepLearner:
                     # reference, whose DataLoader moves each batch to GPU
                     # before the timed forward)
                     clips = self._clips_to_device(clips)
-                    if ("pred", clips.shape) not in warmed:  # untimed compile
+                    if ("pred", clips.shape, ep.num_classes) not in warmed:  # untimed compile
                         np.asarray(self.predict_fn(self.variables, task_state,
                                                    clips, class_mask))
-                        warmed.add(("pred", clips.shape))
+                        warmed.add(("pred", clips.shape, ep.num_classes))
                     t1 = time.time()
                     logits = np.asarray(self.predict_fn(self.variables, task_state,
                                                         clips, class_mask))
@@ -588,7 +588,8 @@ class SingleStepLearner:
             }
             query = self._clips_to_device(batch["query_clips"])
             shape_key = (batch["context_clips"].shape,
-                         batch["query_clips"].shape)
+                         batch["query_clips"].shape,
+                         batch["class_mask"].shape)
             if with_timing and shape_key not in warmed:
                 # one-time XLA compile runs untimed, like the serial loop
                 s = tpe.personalise(self.variables, dev)
@@ -670,7 +671,7 @@ class SingleStepLearner:
             queue.get_tasks(), prep,
             depth=max(depth, tdp) if depth > 0 else depth)
         for task_dict, (ep, qb) in prepared:
-            key = (ep.context_clips.shape, qb.clips.shape)
+            key = (ep.context_clips.shape, qb.clips.shape, ep.num_classes)
             if buf and key != buf_key:
                 flush()  # bucket-shape change: run the partial group
             buf.append((task_dict, ep, qb))

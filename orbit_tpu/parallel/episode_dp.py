@@ -37,11 +37,23 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
     return Mesh(np.array(devices[:n]), (axis,))
 
 
+def pad_rows_to_multiple(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Zero-pad the leading axis up to a multiple of ``n`` (mesh size) so a
+    P(axis) shard_map divides it evenly. Shared by the row-sharded eval paths
+    (query_sharding, finetune_dp); padded rows carry zero masks or are
+    sliced off by the caller."""
+    pad = (-x.shape[0]) % n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x
+
+
 def stack_group(episodes: Sequence[Episode]) -> Dict[str, np.ndarray]:
     """Re-pad a group of train episodes to their common max bucket and stack
     along a leading task axis."""
     n_ctx = max(e.context_clips.shape[0] for e in episodes)
     n_tgt = max(e.target_clips.shape[0] for e in episodes)
+    n_cls = max(e.class_mask.shape[0] for e in episodes)
 
     def stack(field, n):
         return np.stack([pad_rows(getattr(e, field), n) for e in episodes])
@@ -50,7 +62,9 @@ def stack_group(episodes: Sequence[Episode]) -> Dict[str, np.ndarray]:
         "context_clips": stack("context_clips", n_ctx),
         "context_labels": stack("context_labels", n_ctx),
         "context_mask": stack("context_mask", n_ctx),
-        "class_mask": np.stack([e.class_mask for e in episodes]),
+        # class buckets can differ under --with_cluster_labels (16/32/...);
+        # padded classes stay mask-0 -> -inf logits, inert like padded rows
+        "class_mask": stack("class_mask", n_cls),
         "target_clips": stack("target_clips", n_tgt),
         "target_labels": stack("target_labels", n_tgt),
         "target_mask": stack("target_mask", n_tgt),
@@ -63,6 +77,8 @@ class EpisodeDataParallel:
     def __init__(self, recogniser, args, tx, mesh: Optional[Mesh] = None):
         self.mesh = mesh or make_mesh(getattr(args, "data_parallel", None))
         self.dp = self.mesh.devices.size
+        # make_mesh accepts any axis name — honour it instead of assuming "dp"
+        axis = self.mesh.axis_names[0]
         self.args = args
         self.tx = tx
         build = (steps_lib.build_train_task_lite if getattr(args, "with_lite", False)
@@ -84,7 +100,7 @@ class EpisodeDataParallel:
             # pre-vary them so the scan carry types match (params must stay
             # replicated for the auto-psum'd cotangent)
             local_rest = jax.tree_util.tree_map(
-                lambda x: jax.lax.pcast(x, ("dp",), to="varying"), rest)
+                lambda x: jax.lax.pcast(x, (axis,), to="varying"), rest)
 
             def per_task(episode, rng):
                 return task_fn({"params": params, **local_rest}, episode, rng)
@@ -109,15 +125,15 @@ class EpisodeDataParallel:
                     return (s * w).sum(axis=0)
 
                 num = jax.lax.psum(
-                    jax.tree_util.tree_map(weighted_sum, new_stats), "dp")
-                den = jnp.maximum(jax.lax.psum(real_lane.sum(), "dp"), 1.0)
+                    jax.tree_util.tree_map(weighted_sum, new_stats), axis)
+                den = jnp.maximum(jax.lax.psum(real_lane.sum(), axis), 1.0)
                 new_stats = jax.tree_util.tree_map(lambda s: s / den, num)
             return grads, losses, logits, new_stats
 
         sharded = jax.shard_map(
             local_grads, mesh=self.mesh,
-            in_specs=(P(), P(), P("dp"), P("dp")),
-            out_specs=(P(), P("dp"), P("dp"), P()),
+            in_specs=(P(), P(), P(axis), P(axis)),
+            out_specs=(P(), P(axis), P(axis), P()),
         )
 
         def update(params, opt_state, grads):
@@ -131,7 +147,12 @@ class EpisodeDataParallel:
     def batch_grads(self, params, rest, batch: Dict[str, np.ndarray], rngs):
         """Mesh-summed gradients + per-task (losses, logits) for a (dp, ...)
         stacked episode batch."""
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        # shard each episode straight to its lane's device: a plain
+        # jnp.asarray would stage the WHOLE (dp, ...) batch on device 0 and
+        # then reshard — an extra full-batch transfer plus an HBM spike on
+        # one chip, every group, on the training hot path
+        shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        batch = {k: jax.device_put(v, shard) for k, v in batch.items()}
         return self._grads(params, rest, batch, rngs)
 
     def train_epoch(self, params, rest, opt_state, tasks,
@@ -198,6 +219,18 @@ class EpisodeDataParallel:
             # to that cadence
             tasks_since_update += n_real
             if tasks_since_update >= tasks_per_batch:
+                # per-task grads are pre-scaled by 1/tasks_per_batch
+                # (steps.py), so a window that OVERSHOOTS tpb (whole dp-groups
+                # when dp does not divide tpb) would apply an update inflated
+                # by window/tpb — renormalise it to the window mean so the
+                # step magnitude is mesh-size-invariant. Windows of exactly
+                # tpb (dp | tpb) scale by 1 (reference-exact); the final
+                # PARTIAL window below keeps the reference's sum/tpb
+                # semantics (a deliberately smaller step).
+                if tasks_since_update > tasks_per_batch:
+                    grads_acc = jax.tree_util.tree_map(
+                        lambda g, s=tasks_per_batch / tasks_since_update: g * s,
+                        grads_acc)
                 params, opt_state = self._apply(params, opt_state, grads_acc)
                 grads_acc = None
                 tasks_since_update = 0

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from orbit_tpu.parallel.episode_dp import make_mesh
+from orbit_tpu.parallel.episode_dp import make_mesh, pad_rows_to_multiple
 
 
 class ShardedFineTune:
@@ -64,11 +64,7 @@ class ShardedFineTune:
         ))
 
     def _pad(self, x: jnp.ndarray) -> jnp.ndarray:
-        pad = (-x.shape[0]) % self.num_shards
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-        return x
+        return pad_rows_to_multiple(x, self.num_shards)
 
     def personalise(self, variables, ctx_clips, ctx_labels, ctx_mask,
                     class_mask):

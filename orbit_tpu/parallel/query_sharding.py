@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from orbit_tpu.parallel.episode_dp import make_mesh
+from orbit_tpu.parallel.episode_dp import make_mesh, pad_rows_to_multiple
 
 
 class ShardedQuery:
@@ -45,9 +45,6 @@ class ShardedQuery:
         """Shard ``clips`` (N, T, H, W, 3) over the mesh; N is padded up to a
         multiple of the mesh size (padded logits are sliced off)."""
         n = clips.shape[0]
-        pad = (-n) % self.num_shards
-        if pad:
-            clips = jnp.concatenate(
-                [clips, jnp.zeros((pad,) + clips.shape[1:], clips.dtype)])
+        clips = pad_rows_to_multiple(clips, self.num_shards)
         logits = self._predict(variables, task_state, clips, class_mask)
         return logits[:n]

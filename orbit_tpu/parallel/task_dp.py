@@ -87,35 +87,31 @@ def stack_eval_group(episodes: Sequence[Episode],
     }
 
 
-class TaskParallelEval:
-    """Shard-mapped per-lane personalise + predict for groups of dp tasks.
+class _LaneParallel:
+    """Shared task-DP scaffold: wrap per-task (personalise, predict)
+    callables into jitted shard_map'd GROUP fns. Each lane strips its local
+    leading axis (size 1), runs one whole task, and re-stacks with [None];
+    the variables enter replicated (P()) and everything else is sharded on
+    the task axis. No collectives: nothing crosses lanes.
 
-    Each lane holds exactly one task (local leading axis 1); the variables
-    enter replicated (P()) and everything else is sharded on the task axis.
-    No collectives: eval has no gradients and no cross-task reductions.
-    """
+    Subclasses pass the per-task pair with signatures
+    ``personalise_one(variables, clips, labels, mask, class_mask)`` and
+    ``predict_one(variables, state, clips, class_mask)``."""
 
-    def __init__(self, recogniser, mesh: Optional[Mesh] = None,
-                 axis: str = "dp"):
+    def __init__(self, mesh: Optional[Mesh], axis: str,
+                 personalise_one, predict_one):
         self.mesh = mesh or make_mesh()
         self.axis = axis
         self.dp = self.mesh.devices.size
 
         def local_personalise(variables, clips, labels, mask, class_mask):
-            state = recogniser.personalise(
-                variables, clips[0], labels[0], mask[0],
-                class_mask.shape[-1], train=False, with_grad=False)
-            # keep only what predict consumes ("film" may be None; None
-            # subtrees are static and stack-free)
-            keep = {"film": state["film"], "head": state["head"]}
-            return jax.tree_util.tree_map(lambda x: x[None], keep)
+            out = personalise_one(variables, clips[0], labels[0], mask[0],
+                                  class_mask[0])
+            return jax.tree_util.tree_map(lambda x: x[None], out)
 
         def local_predict(variables, state, clips, class_mask):
-            lane_state = jax.tree_util.tree_map(lambda x: x[0], state)
-            logits = recogniser.predict(
-                variables, lane_state, clips[0], class_mask=class_mask[0],
-                train=False, with_grad=False)
-            return logits[None]
+            lane = jax.tree_util.tree_map(lambda x: x[0], state)
+            return predict_one(variables, lane, clips[0], class_mask[0])[None]
 
         self._personalise = jax.jit(jax.shard_map(
             local_personalise, mesh=self.mesh,
@@ -127,7 +123,7 @@ class TaskParallelEval:
             out_specs=P(axis)))
 
     def personalise(self, variables, batch: Dict[str, jnp.ndarray]):
-        """Batched task states for a stacked eval group (leading axis dp)."""
+        """Batched per-lane task states for a stacked eval group."""
         return self._personalise(variables, batch["context_clips"],
                                  batch["context_labels"],
                                  batch["context_mask"], batch["class_mask"])
@@ -137,7 +133,30 @@ class TaskParallelEval:
         return self._predict(variables, states, query_clips, class_mask)
 
 
-class TaskParallelFineTune:
+class TaskParallelEval(_LaneParallel):
+    """Task-DP for the single-step protocol: one personalise + one stacked
+    query predict per lane (reference loop: single-step-learner.py:314-357).
+    """
+
+    def __init__(self, recogniser, mesh: Optional[Mesh] = None,
+                 axis: str = "dp"):
+        def personalise_one(variables, clips, labels, mask, class_mask):
+            state = recogniser.personalise(
+                variables, clips, labels, mask, class_mask.shape[0],
+                train=False, with_grad=False)
+            # keep only what predict consumes ("film" may be None; None
+            # subtrees are static and stack-free)
+            return {"film": state["film"], "head": state["head"]}
+
+        def predict_one(variables, state, clips, class_mask):
+            return recogniser.predict(variables, state, clips,
+                                      class_mask=class_mask, train=False,
+                                      with_grad=False)
+
+        super().__init__(mesh, axis, personalise_one, predict_one)
+
+
+class TaskParallelFineTune(_LaneParallel):
     """Task-level parallelism for the FineTuner protocol (multi-step).
 
     Each mesh lane runs one whole task's INNER GRADIENT LOOP —
@@ -161,37 +180,6 @@ class TaskParallelFineTune:
                  axis: str = "dp"):
         from orbit_tpu.learners.multi_step import build_finetune_fns
 
-        self.mesh = mesh or make_mesh()
-        self.axis = axis
-        self.dp = self.mesh.devices.size
-
-        personalise, predict = build_finetune_fns(
+        personalise_one, predict_one = build_finetune_fns(
             recogniser, args, jit=False, vary_axis=axis)
-
-        def local_personalise(variables, clips, labels, mask, class_mask):
-            tp = personalise(variables, clips[0], labels[0], mask[0],
-                             class_mask[0])
-            return jax.tree_util.tree_map(lambda x: x[None], tp)
-
-        def local_predict(variables, tp, clips, class_mask):
-            lane_tp = jax.tree_util.tree_map(lambda x: x[0], tp)
-            return predict(variables, lane_tp, clips[0], class_mask[0])[None]
-
-        self._personalise = jax.jit(jax.shard_map(
-            local_personalise, mesh=self.mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=P(axis)))
-        self._predict = jax.jit(jax.shard_map(
-            local_predict, mesh=self.mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis)),
-            out_specs=P(axis)))
-
-    def personalise(self, variables, batch: Dict[str, jnp.ndarray]):
-        """Batched per-lane task_params for a stacked eval group."""
-        return self._personalise(variables, batch["context_clips"],
-                                 batch["context_labels"],
-                                 batch["context_mask"], batch["class_mask"])
-
-    def predict(self, variables, task_params, query_clips, class_mask):
-        """Batched (dp, V_b*F_b, C) logits for the group's query blocks."""
-        return self._predict(variables, task_params, query_clips, class_mask)
+        super().__init__(mesh, axis, personalise_one, predict_one)

@@ -466,3 +466,68 @@ def test_prefetch_prepared_consumer_abandonment_stops_producer():
     _time.sleep(0.5)
     assert len(prepared) == n, "producer kept producing after close"
     assert n < 100, "producer ran the whole epoch ahead of a dead consumer"
+
+
+def test_pad_episode_sparse_cluster_label_space():
+    """--with_cluster_labels tasks carry SPARSE ids from the split's global
+    cluster vocabulary (up to ~100, data/index.py) — the class axis must
+    round up past MAX_WAY instead of computing a negative pad, and the mask
+    must mark only PRESENT ids (absent clusters -> -inf logits, never
+    zero-count prototypes)."""
+    from orbit_tpu.data.episodes import pad_episode
+
+    task = {
+        "context_clips": np.zeros((4, 1, 8, 8, 3), np.float32),
+        "context_labels": np.array([0, 5, 20, 20], np.int64),
+        "context_mask": np.ones(4, np.float32),
+        "target_clips": np.zeros((4, 1, 8, 8, 3), np.float32),
+        "target_labels": np.array([0, 5, 20, 5], np.int64),
+        "target_mask": np.ones(4, np.float32),
+    }
+    ep = pad_episode(task)
+    assert ep.way == 21
+    assert ep.num_classes == 32          # next multiple of MAX_WAY
+    assert ep.class_mask.shape == (32,)
+    present = np.where(ep.class_mask > 0)[0].tolist()
+    assert present == [0, 5, 20]
+
+    # dense normal tasks are unchanged: ones over 0..way-1, bucket 16
+    task["context_labels"] = np.array([0, 1, 2, 0], np.int64)
+    task["target_labels"] = np.array([1, 2, 0, 2], np.int64)
+    ep = pad_episode(task)
+    assert ep.num_classes == 16 and ep.way == 3
+    assert ep.class_mask[:3].tolist() == [1, 1, 1]
+    assert ep.class_mask[3:].sum() == 0
+
+
+def test_queue_get_tasks_abandonment_stops_producer(orbit_fixture_tree):
+    """Abandoning the queue's task generator early (step-loop exception)
+    must stop its decode-producer thread instead of leaving it blocked on a
+    full queue pinning decoded episodes (round-4 review finding; same
+    contract as prefetch_prepared)."""
+    import time as _time
+
+    from orbit_tpu.data.queues import UserEpisodicDatasetQueue
+
+    queue = UserEpisodicDatasetQueue(
+        orbit_fixture_tree, "max", 15, ("max", "max"), (2, 1),
+        ("clean", "clutter"), 4, ("uniform", "random"), 1, 32, "imagenet",
+        num_tasks=50, test_mode=False, shuffle=False, seed=0, prefetch=1)
+
+    calls = []
+    orig = queue.loader.load_task
+
+    def counting(plan):
+        calls.append(1)
+        return orig(plan)
+
+    queue.loader.load_task = counting
+    gen = queue.get_tasks()
+    next(gen)
+    gen.close()  # GeneratorExit -> finally stops + drains
+
+    _time.sleep(0.8)  # let any in-flight decode finish
+    n = len(calls)
+    _time.sleep(0.8)
+    assert len(calls) == n, "producer kept decoding after close"
+    assert n < 100, "producer decoded the whole epoch ahead of a dead consumer"

@@ -448,3 +448,52 @@ def test_dp_traces_through_pallas_kernels_on_vit():
     # the Pallas ops must actually be in the traced program (Mosaic lowering
     # of the jaxpr needs a TPU backend, so stop at the trace)
     assert "pallas_call" in str(traced.jaxpr)
+
+
+def test_overshoot_window_applies_mean_update(tiny_model):
+    """dp does not divide tasks_per_batch: a dp-group that overshoots the
+    accumulation window must apply the WINDOW-MEAN update, not one inflated
+    by window/tpb (round-4 review finding). With 4 tasks on a 4-lane mesh,
+    tpb=2 and tpb=4 both trigger exactly one update over the same 4 tasks —
+    with plain SGD the final params must be identical."""
+    from orbit_tpu.parallel import EpisodeDataParallel, make_mesh
+    from orbit_tpu.utils.optim import init_optimizer
+
+    rec, variables = tiny_model
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    rng = np.random.default_rng(9)
+    tasks = [synthetic_episode(rng) for _ in range(4)]
+
+    results = {}
+    for tpb in (2, 4):
+        args = tiny_args(tasks_per_batch=tpb, learn_extractor=False,
+                         optimizer="sgd", momentum=0.0, learning_rate=0.05,
+                         data_parallel=4)
+        tx, opt_state = init_optimizer(params, args)
+        edp = EpisodeDataParallel(rec, args, tx, mesh=make_mesh(4))
+
+        # grads scale with 1/tpb, so undo it: equal-effective-lr comparison
+        # isolates the window renormalisation (tpb=2 pre-scales each task by
+        # 1/2 over a window of 4 -> must be rescaled by 2/4 * 2 = 1x mean)
+        state = {"key": jax.random.PRNGKey(3)}
+
+        def next_rng():
+            state["key"], sub = jax.random.split(state["key"])
+            return sub
+
+        new_params, _, _, losses = edp.train_epoch(
+            params, rest, opt_state, list(tasks), next_rng)
+        assert len(losses) == 4 and np.isfinite(losses).all()
+        # normalise out the 1/tpb pre-scale difference: with the fix, the
+        # applied update is (sum grads)/tpb * tpb/window = mean over the
+        # window for BOTH tpb values, so params should match directly
+        results[tpb] = new_params
+
+    for a, b in zip(jax.tree_util.tree_leaves(results[2]),
+                    jax.tree_util.tree_leaves(results[4])):
+        # f32 rounding differs between the two pre-scale factors (1/2 vs
+        # 1/4); the unfixed code would differ by a FACTOR of 2 here
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)
