@@ -187,37 +187,66 @@ class DatasetQueue:
                 yield load(item, k)
             return
 
-        # producer thread: plan + decode ahead of the consumer. If the
-        # consumer abandons the generator (step-loop exception, partial
-        # iteration), the finally below stops the producer and drains the
-        # queue — otherwise the thread blocks on a full queue forever,
-        # pinning prefetch+1 fully-decoded task_dicts (same fix as
+        # Two-stage producer pipeline ahead of the consumer:
+        #   plan thread  -> decode thread -> consumer (device compute)
+        # Task PLANS are pure Python (GIL-bound, measured ~50 ms/plan at
+        # benchmark scale — PERF.md); frame DECODE spends its time in
+        # GIL-releasing PIL/JPEG C code. Splitting them lets plan(t+1) run
+        # during decode(t)'s C-land time instead of serialising both in one
+        # thread (VERDICT r4 item 3). Plans are keyed functions of
+        # (seed, epoch, item, k), so planning ahead cannot reorder anything.
+        # If the consumer abandons the generator (step-loop exception,
+        # partial iteration), the finally below stops both threads and
+        # drains both queues — otherwise a thread blocks on a full queue
+        # forever, pinning decoded task_dicts (same fix as
         # data/episodes.py prefetch_prepared).
         out: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
+        plans: _queue.Queue = _queue.Queue(maxsize=max(2, self.prefetch))
         stop = threading.Event()
         _SENTINEL = object()
 
-        def put(item) -> bool:
+        def put(q, item) -> bool:
             while not stop.is_set():
                 try:
-                    out.put(item, timeout=0.1)
+                    q.put(item, timeout=0.1)
                     return True
                 except _queue.Full:
                     continue
             return False
 
-        def produce():
+        def plan_stage():
             try:
                 for item, k in annotated:
-                    if stop.is_set() or not put(load(item, k)):
+                    if stop.is_set():
+                        return
+                    plan = self._plan(item, self._plan_rng(epoch, item, k))
+                    if not put(plans, plan):
+                        return
+            except BaseException as e:  # surfaced through the decode stage
+                put(plans, e)
+            finally:
+                put(plans, _SENTINEL)
+
+        def decode_stage():
+            try:
+                while not stop.is_set():
+                    got = plans.get()
+                    if got is _SENTINEL:
+                        return
+                    if isinstance(got, BaseException):
+                        put(out, got)
+                        return
+                    if not put(out, self.loader.load_task(got)):
                         return
             except BaseException as e:  # surfaced on the consumer side
-                put(e)
+                put(out, e)
             finally:
-                put(_SENTINEL)
+                put(out, _SENTINEL)
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=plan_stage, daemon=True),
+                   threading.Thread(target=decode_stage, daemon=True)]
+        for t in threads:
+            t.start()
         try:
             while True:
                 got = out.get()
@@ -228,11 +257,12 @@ class DatasetQueue:
                 yield got
         finally:
             stop.set()
-            try:  # unblock a pending producer put; drop its task_dicts
-                while True:
-                    out.get_nowait()
-            except _queue.Empty:
-                pass
+            for q in (plans, out):
+                try:  # unblock pending producer puts; drop their payloads
+                    while True:
+                        q.get_nowait()
+                except _queue.Empty:
+                    pass
 
 
 class UserEpisodicDatasetQueue(DatasetQueue):

@@ -361,12 +361,18 @@ class MultiStepLearner:
 
         tdp = getattr(args, "task_parallel", 1)
         if tdp > 1:
-            if len(jax.devices()) >= tdp:
+            n_dev = len(jax.devices())
+            if n_dev >= tdp or n_dev == 1:
                 if getattr(args, "data_parallel", 1) > 1:
                     print_and_log(self.logfile,
                                   "WARNING: --task_parallel takes precedence "
                                   "over --data_parallel at eval; within-task "
                                   "row sharding disabled for this run.")
+                if n_dev == 1 and tdp > 1:
+                    print_and_log(self.logfile,
+                                  f"--task_parallel {tdp} on one device: "
+                                  f"batching task groups of {tdp} per "
+                                  f"dispatch (vmap).")
                 self._test_taskdp(evaluator, rtt, tdp)
                 self._finish_eval(evaluator, used, path, save_evaluator)
                 return
@@ -499,10 +505,15 @@ class MultiStepLearner:
         Per-task MACs stay analytic on the serial program (the K=1/K=2
         analysis twins), identical to the serial loop's."""
         from orbit_tpu.parallel import TaskParallelFineTune, make_mesh
-        from orbit_tpu.parallel.task_dp import build_query_block, stack_eval_group
+        from orbit_tpu.parallel.task_dp import (
+            TaskBatchedFineTune, build_query_block, stack_eval_group)
 
         args = self.args
-        tpf = TaskParallelFineTune(self.recogniser, args, mesh=make_mesh(tdp))
+        if len(jax.devices()) >= tdp:
+            tpf = TaskParallelFineTune(self.recogniser, args,
+                                       mesh=make_mesh(tdp))
+        else:  # single device: vmapped task axis, same group protocol
+            tpf = TaskBatchedFineTune(self.recogniser, args, dp=tdp)
         num_total_tasks = self.test_queue.num_local_tasks()
         ctx_counts: list = []
         tgt_counts: list = []

@@ -371,13 +371,22 @@ class SingleStepLearner:
         args = self.args
         tdp = getattr(args, "task_parallel", 1)
         if tdp > 1:
-            if len(jax.devices()) >= tdp:
+            n_dev = len(jax.devices())
+            if n_dev >= tdp or n_dev == 1:
                 if getattr(args, "data_parallel", 1) > 1:
                     # never degrade silently (round-2 verdict, weak #9)
                     print_and_log(self.logfile,
                                   "WARNING: --task_parallel takes precedence "
                                   "over --data_parallel at eval; within-task "
                                   "query sharding disabled for this run.")
+                if n_dev == 1 and tdp > 1:
+                    # single chip: group tasks on a vmapped task axis —
+                    # same protocol loop, dispatch overhead amortised
+                    # (parallel/task_dp.py TaskBatchedEval)
+                    print_and_log(self.logfile,
+                                  f"--task_parallel {tdp} on one device: "
+                                  f"batching task groups of {tdp} per "
+                                  f"dispatch (vmap).")
                 return self._run_eval_protocol_taskdp(
                     queue, evaluator, num_tasks_per_user, split_name,
                     with_timing, tdp)
@@ -550,10 +559,14 @@ class SingleStepLearner:
         dispatches are timed once and divided across the group's real
         tasks / frames."""
         from orbit_tpu.parallel import TaskParallelEval, make_mesh
-        from orbit_tpu.parallel.task_dp import build_query_block, stack_eval_group
+        from orbit_tpu.parallel.task_dp import (
+            TaskBatchedEval, build_query_block, stack_eval_group)
 
         args = self.args
-        tpe = TaskParallelEval(self.recogniser, mesh=make_mesh(tdp))
+        if len(jax.devices()) >= tdp:
+            tpe = TaskParallelEval(self.recogniser, mesh=make_mesh(tdp))
+        else:  # single device: vmapped task axis, same group protocol
+            tpe = TaskBatchedEval(self.recogniser, dp=tdp)
         num_total_tasks = queue.num_local_tasks()
         ops_counter = getattr(evaluator, "ops_counter", None)
 

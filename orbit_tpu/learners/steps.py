@@ -74,6 +74,10 @@ def train_impl_scope(batch_size: int):
     return default_impl("xla")
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
@@ -82,7 +86,11 @@ def tree_zeros_like(tree):
     return jax.tree_util.tree_map(jnp.zeros_like, tree)
 
 
-accumulate_grads = jax.jit(tree_add)
+# the running accumulator (arg 0) is dead after each call — donating it
+# lets XLA update the ~88M-param grad tree in place instead of allocating
+# a fresh copy every task (VERDICT r4 #6; no-op on backends without
+# donation support, e.g. the CPU test mesh)
+accumulate_grads = jax.jit(tree_add, donate_argnums=(0,))
 
 
 def _split_variables(variables):
@@ -276,35 +284,37 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
                 clip_mask=episode["context_mask"]))
 
         # ---- scan over target batches, carrying accumulated grads ----
+        # Batch boundaries follow the reference exactly (full batches of
+        # ``batch_size``, remainder last — single-step-learner.py:223-228;
+        # masked-mean CE makes each batch's loss independent of padding).
+        # The tail batch is padded only to a multiple of 8, NOT to
+        # ``batch_size``: at protocol scale (tgt 128, batch 256) padding the
+        # lone batch to 256 made HALF the target fwd+bwd pure pad waste —
+        # measured 125.2 -> ~95 ms/task-step when trimmed (PERF.md "LITE
+        # train-step bisection").
         m = episode["target_clips"].shape[0]
         nb = (m + batch_size - 1) // batch_size
-        pad = nb * batch_size - m
-        tgt_clips = jnp.concatenate(
-            [episode["target_clips"],
-             jnp.zeros((pad,) + episode["target_clips"].shape[1:],
-                       episode["target_clips"].dtype)]) if pad else episode["target_clips"]
-        tgt_labels = jnp.concatenate(
-            [episode["target_labels"], jnp.zeros((pad,), episode["target_labels"].dtype)]) if pad else episode["target_labels"]
-        tgt_mask = jnp.concatenate(
-            [episode["target_mask"], jnp.zeros((pad,), episode["target_mask"].dtype)]) if pad else episode["target_mask"]
-        tgt_clips = tgt_clips.reshape(nb, batch_size, *tgt_clips.shape[1:])
-        tgt_labels = tgt_labels.reshape(nb, batch_size)
-        tgt_mask = tgt_mask.reshape(nb, batch_size)
+        tail_rows = m - (nb - 1) * batch_size          # in (0, batch_size]
+        tail_bs = min(batch_size, _round_up(tail_rows, 8))
+        full = nb if tail_bs == batch_size else nb - 1  # full-size batches
         rngs = jax.random.split(rng, nb)
 
         grad_fn = jax.value_and_grad(batch_loss_fn, has_aux=True)
 
+        def run_batch(stats, rng_b, clips_b, labels_b, mask_b):
+            grad_idxs = lite_grad_subset(rng_b, episode["context_mask"], n)
+            # differentiated path: fused Pallas fwd+bwd kernels at
+            # protocol-scale dispatch batches (rows >= 64), XLA below the
+            # measured crossover (train_impl_scope; PERF.md)
+            with train_impl_scope(clips_b.shape[0]):
+                return grad_fn(params, rest, stats, caches, episode,
+                               grad_idxs, clips_b, labels_b, mask_b)
+
         def body(carry, xs):
             grads_acc, loss_acc, stats = carry
             rng_b, clips_b, labels_b, mask_b = xs
-            grad_idxs = lite_grad_subset(rng_b, episode["context_mask"], n)
-            # differentiated path: fused Pallas fwd+bwd kernels at
-            # protocol-scale dispatch batches (--batch_size >= 64), XLA
-            # below the measured crossover (train_impl_scope; PERF.md)
-            with train_impl_scope(batch_size):
-                (loss, (logits, stats)), grads = grad_fn(
-                    params, rest, stats, caches, episode,
-                    grad_idxs, clips_b, labels_b, mask_b)
+            (loss, (logits, stats)), grads = run_batch(
+                stats, rng_b, clips_b, labels_b, mask_b)
             return (tree_add(grads_acc, grads), loss_acc + loss, stats), logits
 
         # the loss carry must share the episode data's device-varying type
@@ -315,10 +325,37 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
         # update (already episode-derived, hence varying) and accumulates
         # the reference's per-batch subset+target updates.
         loss0 = 0.0 * episode["target_mask"].astype(jnp.float32).sum()
-        (grads, loss, new_stats), logits = jax.lax.scan(
-            body, (tree_zeros_like(params), loss0, new_stats),
-            (rngs, tgt_clips, tgt_labels, tgt_mask))
-        return grads, loss, logits.reshape(nb * batch_size, -1)[:m], new_stats
+        carry = (tree_zeros_like(params), loss0, new_stats)
+        logits_parts = []
+        if full:
+            nf = full * batch_size
+            carry, logits_f = jax.lax.scan(
+                body, carry,
+                (rngs[:full],
+                 episode["target_clips"][:nf].reshape(
+                     full, batch_size, *episode["target_clips"].shape[1:]),
+                 episode["target_labels"][:nf].reshape(full, batch_size),
+                 episode["target_mask"][:nf].reshape(full, batch_size)))
+            logits_parts.append(logits_f.reshape(nf, -1))
+        grads, loss, new_stats = carry
+        if full < nb:                                   # trimmed tail batch
+            pad = tail_bs - tail_rows
+            tc = episode["target_clips"][full * batch_size:]
+            tl = episode["target_labels"][full * batch_size:]
+            tm = episode["target_mask"][full * batch_size:]
+            if pad:
+                tc = jnp.concatenate(
+                    [tc, jnp.zeros((pad,) + tc.shape[1:], tc.dtype)])
+                tl = jnp.concatenate([tl, jnp.zeros((pad,), tl.dtype)])
+                tm = jnp.concatenate([tm, jnp.zeros((pad,), tm.dtype)])
+            (tail_loss, (tail_logits, new_stats)), tail_grads = run_batch(
+                new_stats, rngs[nb - 1], tc, tl, tm)
+            grads = tree_add(grads, tail_grads)
+            loss = loss + tail_loss
+            logits_parts.append(tail_logits[:tail_rows])
+        logits = (logits_parts[0] if len(logits_parts) == 1
+                  else jnp.concatenate(logits_parts))
+        return grads, loss, logits[:m], new_stats
 
     return jax.jit(train_task_lite) if jit else train_task_lite
 
@@ -343,9 +380,15 @@ def build_eval_fns(recogniser: SingleStepFewShotRecogniser) -> Tuple[Callable, C
 
 
 def build_apply_update(tx) -> Callable:
-    """Jitted optimiser application for accumulated gradients."""
+    """Jitted optimiser application for accumulated gradients.
 
-    @jax.jit
+    All three inputs are dead after the call (the driver reassigns params
+    and opt_state and zeroes the accumulator), so they are donated: the
+    update mutates the params + Adam-moment buffers in place instead of
+    re-allocating the full model+opt-state footprint every
+    ``tasks_per_batch`` tasks (VERDICT r4 #6)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def apply_update(params, opt_state, grads):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state

@@ -1,7 +1,10 @@
 from orbit_tpu.parallel.episode_dp import EpisodeDataParallel, make_mesh
 from orbit_tpu.parallel.finetune_dp import ShardedFineTune
 from orbit_tpu.parallel.query_sharding import ShardedQuery
-from orbit_tpu.parallel.task_dp import TaskParallelEval, TaskParallelFineTune
+from orbit_tpu.parallel.task_dp import (
+    TaskBatchedEval, TaskBatchedFineTune, TaskParallelEval,
+    TaskParallelFineTune)
 
 __all__ = ["EpisodeDataParallel", "ShardedFineTune", "ShardedQuery",
-           "TaskParallelEval", "TaskParallelFineTune", "make_mesh"]
+           "TaskBatchedEval", "TaskBatchedFineTune", "TaskParallelEval",
+           "TaskParallelFineTune", "make_mesh"]

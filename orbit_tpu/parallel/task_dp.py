@@ -133,6 +133,26 @@ class _LaneParallel:
         return self._predict(variables, states, query_clips, class_mask)
 
 
+def _eval_task_fns(recogniser):
+    """Per-task (personalise, predict) pair shared by the mesh (shard_map)
+    and single-device (vmap) group runners."""
+
+    def personalise_one(variables, clips, labels, mask, class_mask):
+        state = recogniser.personalise(
+            variables, clips, labels, mask, class_mask.shape[0],
+            train=False, with_grad=False)
+        # keep only what predict consumes ("film" may be None; None
+        # subtrees are static and stack-free)
+        return {"film": state["film"], "head": state["head"]}
+
+    def predict_one(variables, state, clips, class_mask):
+        return recogniser.predict(variables, state, clips,
+                                  class_mask=class_mask, train=False,
+                                  with_grad=False)
+
+    return personalise_one, predict_one
+
+
 class TaskParallelEval(_LaneParallel):
     """Task-DP for the single-step protocol: one personalise + one stacked
     query predict per lane (reference loop: single-step-learner.py:314-357).
@@ -140,20 +160,44 @@ class TaskParallelEval(_LaneParallel):
 
     def __init__(self, recogniser, mesh: Optional[Mesh] = None,
                  axis: str = "dp"):
-        def personalise_one(variables, clips, labels, mask, class_mask):
-            state = recogniser.personalise(
-                variables, clips, labels, mask, class_mask.shape[0],
-                train=False, with_grad=False)
-            # keep only what predict consumes ("film" may be None; None
-            # subtrees are static and stack-free)
-            return {"film": state["film"], "head": state["head"]}
-
-        def predict_one(variables, state, clips, class_mask):
-            return recogniser.predict(variables, state, clips,
-                                      class_mask=class_mask, train=False,
-                                      with_grad=False)
-
+        personalise_one, predict_one = _eval_task_fns(recogniser)
         super().__init__(mesh, axis, personalise_one, predict_one)
+
+
+class TaskBatchedEval:
+    """Single-DEVICE task grouping: the same bucket-grouped protocol loop as
+    :class:`TaskParallelEval`, but the ``dp`` lanes are a vmapped leading
+    axis on one chip instead of mesh lanes. One dispatch then covers ``dp``
+    whole tasks — amortising per-dispatch overhead and giving XLA a task
+    axis to batch the small per-task GEMMs over (head configure, pooling,
+    short context chunks), which is where serial small-task eval loses MXU
+    fill. Measured on the real v5e (PERF.md "grouped-task eval"); the
+    CPU-mesh analog measured 1.5x dispatch amortisation even timeshared on
+    one core (round-4 `scripts/bench_task_dp.py`).
+
+    Interface-compatible with TaskParallelEval, so the driver's task-DP
+    protocol loop (single_step.py `_run_eval_protocol_taskdp`) uses either
+    unchanged: group assembly via ``stack_eval_group(..., dp)``, duplicate
+    partial-group lanes discarded by the caller.
+    """
+
+    def __init__(self, recogniser, dp: int):
+        self.dp = dp
+        personalise_one, predict_one = _eval_task_fns(recogniser)
+        self._personalise = jax.jit(jax.vmap(
+            personalise_one, in_axes=(None, 0, 0, 0, 0)))
+        self._predict = jax.jit(jax.vmap(
+            predict_one, in_axes=(None, 0, 0, 0)))
+
+    def personalise(self, variables, batch: Dict[str, jnp.ndarray]):
+        """Batched per-task states for a stacked eval group."""
+        return self._personalise(variables, batch["context_clips"],
+                                 batch["context_labels"],
+                                 batch["context_mask"], batch["class_mask"])
+
+    def predict(self, variables, states, query_clips, class_mask):
+        """Batched (dp, V_b*F_b, C) logits for the group's query blocks."""
+        return self._predict(variables, states, query_clips, class_mask)
 
 
 class TaskParallelFineTune(_LaneParallel):
@@ -183,3 +227,22 @@ class TaskParallelFineTune(_LaneParallel):
         personalise_one, predict_one = build_finetune_fns(
             recogniser, args, jit=False, vary_axis=axis)
         super().__init__(mesh, axis, personalise_one, predict_one)
+
+
+class TaskBatchedFineTune(TaskBatchedEval):
+    """Single-DEVICE task grouping for the FineTuner protocol: ``dp`` whole
+    inner gradient loops run as one vmapped dispatch on one chip (vmap of
+    the per-task personalise moves the task axis inside the inner scan's
+    batched GEMMs). No shard_map, so no vary_axis/pcast plumbing is needed —
+    plain vmap batching is collective-free by construction."""
+
+    def __init__(self, recogniser, args, dp: int):
+        from orbit_tpu.learners.multi_step import build_finetune_fns
+
+        self.dp = dp
+        personalise_one, predict_one = build_finetune_fns(
+            recogniser, args, jit=False)
+        self._personalise = jax.jit(jax.vmap(
+            personalise_one, in_axes=(None, 0, 0, 0, 0)))
+        self._predict = jax.jit(jax.vmap(
+            predict_one, in_axes=(None, 0, 0, 0)))

@@ -51,12 +51,21 @@ def main():
                          "(TaskParallelFineTune)")
     ap.add_argument("--grad-steps", type=int, default=5,
                     help="FineTuner inner steps (multi_step only)")
+    ap.add_argument("--platform", choices=["cpu", "default"], default="cpu",
+                    help="cpu: virtual CPU mesh (shard_map lanes, the "
+                         "semantics/overhead attestation). default: the real "
+                         "device — group sizes > 1 run through "
+                         "TaskBatchedEval (vmapped task axis on ONE chip), "
+                         "measuring grouped vs serial dispatch on real "
+                         "hardware (VERDICT r4 item 4)")
     args = ap.parse_args()
 
     import jax
-    # the axon TPU plugin ignores the JAX_PLATFORMS env var once registered
-    # (CLAUDE.md); force the virtual CPU mesh through the config API instead
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var once
+        # registered (CLAUDE.md); force the virtual CPU mesh through the
+        # config API instead
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from orbit_tpu.data.episodes import Episode, pad_rows
@@ -120,8 +129,9 @@ def main():
     out = {"tasks": args.tasks, "frame_px": hw, "learner": args.learner,
            "assemble_ms_per_task": round(assemble_ms, 2), "mesh": {}}
 
+    vmap_mode = args.platform == "default"
     for dp in args.mesh:
-        if dp > len(jax.devices()):
+        if not vmap_mode and dp > len(jax.devices()):
             continue
         if dp == 1:
             # the serial loop's compute: per-task personalise + one batched
@@ -151,7 +161,11 @@ def main():
                                  jnp.asarray(e.class_mask))
                     return np.asarray(lg)
         elif args.learner == "multi_step":
-            tpf = TaskParallelFineTune(rec, ft_args, mesh=make_mesh(dp))
+            if vmap_mode:
+                from orbit_tpu.parallel.task_dp import TaskBatchedFineTune
+                tpf = TaskBatchedFineTune(rec, ft_args, dp=dp)
+            else:
+                tpf = TaskParallelFineTune(rec, ft_args, mesh=make_mesh(dp))
 
             def run_all(tpf=tpf, dp=dp):
                 lg = None
@@ -165,7 +179,11 @@ def main():
                                      batch["class_mask"])
                 return np.asarray(lg)
         else:
-            tpe = TaskParallelEval(rec, mesh=make_mesh(dp))
+            if vmap_mode:
+                from orbit_tpu.parallel.task_dp import TaskBatchedEval
+                tpe = TaskBatchedEval(rec, dp=dp)
+            else:
+                tpe = TaskParallelEval(rec, mesh=make_mesh(dp))
 
             def run_all(tpe=tpe, dp=dp):
                 lg = None

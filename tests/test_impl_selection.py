@@ -67,7 +67,7 @@ def _episode(n=8, way=3, size=64):
     }
 
 
-def _trace_overrides(monkeypatch, build, batch_size):
+def _trace_overrides(monkeypatch, build, batch_size, n_episode=8):
     """Trace one train step abstractly (eval_shape: no compute) on a small
     ViT and record the impl override in force at every call of the
     backbone's fused attention op."""
@@ -88,7 +88,7 @@ def _trace_overrides(monkeypatch, build, batch_size):
     # installed AFTER the init shape-trace so only the step's calls record
     monkeypatch.setattr(ta, "fused_qkv_attention", recording)
     fn = build(rec, _args(batch_size), jit=False)
-    jax.eval_shape(fn, var_shapes, _episode(), jax.random.PRNGKey(1))
+    jax.eval_shape(fn, var_shapes, _episode(n=n_episode), jax.random.PRNGKey(1))
     assert seen, "the trace never reached the fused attention op"
     return set(seen)
 
@@ -98,8 +98,15 @@ def test_lite_step_selects_by_batch_size(monkeypatch):
     # no-grad cache pass stays on the module default (None)
     small = _trace_overrides(monkeypatch, steps_lib.build_train_task_lite, 4)
     assert small == {None, "xla"}
-    big = _trace_overrides(monkeypatch, steps_lib.build_train_task_lite, 64)
+    big = _trace_overrides(monkeypatch, steps_lib.build_train_task_lite, 64,
+                           n_episode=64)
     assert big == {None}
+    # LITE selects by ACTUAL dispatch rows: a trimmed tail batch below the
+    # crossover (8 target rows here) drops to XLA even at a protocol-scale
+    # --batch_size (the tail-trim optimisation, steps.py)
+    tail = _trace_overrides(monkeypatch, steps_lib.build_train_task_lite, 64,
+                            n_episode=8)
+    assert tail == {None, "xla"}
 
 
 def test_nonlite_step_selects_by_batch_size(monkeypatch):

@@ -228,3 +228,121 @@ def test_task_parallel_finetune_mixed_way_lanes():
             # padded classes stay masked out per lane
             way = ep.way
             assert (lane[vi][:n_fr, way:] < -1e20).all()
+
+
+# ---------------------------------------------------------------- vmap ----
+# Single-DEVICE task grouping (TaskBatchedEval / TaskBatchedFineTune): the
+# same group assembly runs as one vmapped dispatch on one chip — the
+# `--task_parallel N`-on-one-device path (round-5 verdict item 4).
+
+
+def test_task_batched_eval_matches_serial_per_task():
+    from orbit_tpu.parallel import TaskBatchedEval
+
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", classifier="proto",
+        batch_size=16)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=32)
+    personalise, predict = build_eval_fns(rec)
+
+    rng = np.random.default_rng(7)
+    eps = [_episode(rng, way=3, n_ctx=8, videos=[5, 8, 3]),
+           _episode(rng, way=3, n_ctx=8, videos=[8, 2, 6]),
+           _episode(rng, way=3, n_ctx=8, videos=[4, 4, 4, 6])]
+    qbs = [build_query_block(e, clip_length=1) for e in eps]
+
+    tbe = TaskBatchedEval(rec, dp=4)  # one duplicate fill lane
+    batch = {k: jnp.asarray(v)
+             for k, v in stack_eval_group(eps, qbs, 4).items()}
+    states = tbe.personalise(variables, batch)
+    logits = np.asarray(tbe.predict(variables, states,
+                                    batch["query_clips"],
+                                    batch["class_mask"]))
+
+    for i, (ep, qb) in enumerate(zip(eps, qbs)):
+        state = personalise(variables, jnp.asarray(ep.context_clips),
+                            jnp.asarray(ep.context_labels),
+                            jnp.asarray(ep.context_mask),
+                            jnp.asarray(ep.class_mask))
+        lane = logits[i].reshape(qb.video_bucket, qb.frame_bucket, -1)
+        for vi, frames in enumerate(ep.video_frames):
+            ref = np.asarray(predict(variables, state,
+                                     jnp.asarray(frames[:, None]),
+                                     jnp.asarray(ep.class_mask)))
+            n_fr = qb.n_frames[vi]
+            np.testing.assert_allclose(lane[vi][:n_fr], ref[:n_fr],
+                                       rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("adapt_features", [False, True])
+def test_task_batched_finetune_matches_serial(adapt_features):
+    """Vmapped FineTuner grouping: each lane's full inner gradient loop and
+    query logits equal the serial FineTuner's (both head-only and FiLM
+    inner loops; no vary_axis plumbing — plain vmap)."""
+    from tests.test_finetune_dp import make_args as make_ft_args
+    from orbit_tpu.learners.multi_step import build_finetune_fns
+    from orbit_tpu.models.recognisers import MultiStepFewShotRecogniser
+    from orbit_tpu.parallel import TaskBatchedFineTune
+
+    args = make_ft_args(adapt_features, steps=2, batch_size=6)
+    rec = MultiStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", classifier="linear",
+        adapt_features=adapt_features, batch_size=args.batch_size)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=32)
+
+    rng = np.random.default_rng(9)
+    eps = [_episode(rng, way=3, n_ctx=8, videos=[5, 3]),
+           _episode(rng, way=3, n_ctx=8, videos=[4, 6]),
+           _episode(rng, way=3, n_ctx=8, videos=[2, 8])]
+    qbs = [build_query_block(e, clip_length=1) for e in eps]
+
+    tbf = TaskBatchedFineTune(rec, args, dp=4)
+    batch = {k: jnp.asarray(v)
+             for k, v in stack_eval_group(eps, qbs, 4).items()}
+    tps = tbf.personalise(variables, batch)
+    logits = np.asarray(tbf.predict(variables, tps, batch["query_clips"],
+                                    batch["class_mask"]))
+
+    personalise, predict = build_finetune_fns(rec, args)
+    for i, (ep, qb) in enumerate(zip(eps, qbs)):
+        ref_tp = personalise(variables, jnp.asarray(ep.context_clips),
+                             jnp.asarray(ep.context_labels),
+                             jnp.asarray(ep.context_mask),
+                             jnp.asarray(ep.class_mask))
+        lane = logits[i].reshape(qb.video_bucket, qb.frame_bucket, -1)
+        for vi, frames in enumerate(ep.video_frames):
+            ref = np.asarray(predict(variables, ref_tp,
+                                     jnp.asarray(frames[:, None]),
+                                     jnp.asarray(ep.class_mask)))
+            n_fr = qb.n_frames[vi]
+            np.testing.assert_allclose(lane[vi][:n_fr], ref[:n_fr],
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_driver_single_device_batched_results_identical(orbit_fixture_tree,
+                                                        tmp_path_factory,
+                                                        monkeypatch):
+    """--task_parallel 2 with ONE visible device takes the vmap-batched
+    path (not silent degrade) and produces results.json identical to the
+    serial protocol."""
+    from tests.test_learners import make_args
+    from orbit_tpu.learners import SingleStepLearner
+
+    root = tmp_path_factory.mktemp("root")
+    src = os.path.realpath(orbit_fixture_tree)
+    for mode in ("train", "validation", "test"):
+        os.symlink(src, root / mode)
+
+    results = {}
+    for label, tp in (("serial", 1), ("batched", 2)):
+        if label == "batched":
+            one = jax.devices()[:1]
+            monkeypatch.setattr(jax, "devices", lambda *a, **k: one)
+        args = make_args(str(root), str(tmp_path_factory.mktemp("ck")),
+                         mode="test", task_parallel=tp, num_test_tasks=2)
+        learner = SingleStepLearner(args)
+        learner.run()
+        with open(learner.test_evaluator.json_results_path) as f:
+            results[label] = json.load(f)
+
+    assert results["batched"] == results["serial"]
