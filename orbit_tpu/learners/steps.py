@@ -290,8 +290,8 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
         # The tail batch is padded only to a multiple of 8, NOT to
         # ``batch_size``: at protocol scale (tgt 128, batch 256) padding the
         # lone batch to 256 made HALF the target fwd+bwd pure pad waste —
-        # measured 125.2 -> ~95 ms/task-step when trimmed (PERF.md "LITE
-        # train-step bisection").
+        # measured 125.2 -> 84.7 ms/task-step (ViT-B/32 @224, real v5e)
+        # when trimmed (PERF.md "LITE train-step bisection").
         m = episode["target_clips"].shape[0]
         nb = (m + batch_size - 1) // batch_size
         tail_rows = m - (nb - 1) * batch_size          # in (0, batch_size]
@@ -350,7 +350,9 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
                 tm = jnp.concatenate([tm, jnp.zeros((pad,), tm.dtype)])
             (tail_loss, (tail_logits, new_stats)), tail_grads = run_batch(
                 new_stats, rngs[nb - 1], tc, tl, tm)
-            grads = tree_add(grads, tail_grads)
+            # with no full batches the zero grad tree is dead — use the tail
+            # grads directly rather than adding through an 88M-param zeros
+            grads = tree_add(grads, tail_grads) if full else tail_grads
             loss = loss + tail_loss
             logits_parts.append(tail_logits[:tail_rows])
         logits = (logits_parts[0] if len(logits_parts) == 1

@@ -25,6 +25,7 @@ Usage: python scripts/bench_train_bisect.py [--backbone vit_b_32]
        [--ctx 256] [--tgt 128] [--batch 256] [--lite 64] [--way 8]
 """
 import argparse
+import os
 import time
 from types import SimpleNamespace
 
@@ -48,6 +49,13 @@ def main():
     from orbit_tpu.learners import steps as steps_lib
     from orbit_tpu.models.recognisers import SingleStepFewShotRecogniser
     from orbit_tpu.utils.optim import cross_entropy
+    from orbit_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache(os.environ.get("ORBIT_COMPILE_CACHE",
+                                        "~/.cache/orbit_tpu/xla"))
+    print(f"backbone={cli.backbone} ctx={cli.ctx} tgt={cli.tgt} "
+          f"batch={cli.batch} lite={cli.lite} (reps={cli.reps}) "
+          f"devices={jax.devices()}", flush=True)
 
     args = SimpleNamespace(
         tasks_per_batch=16, learn_extractor=True, with_lite=True,
@@ -175,9 +183,11 @@ def main():
             tm = jnp.concatenate(
                 [episode["target_mask"][:tail_rows],
                  jnp.zeros((pad,), jnp.float32)]) if pad else episode["target_mask"]
+            # return grads too — returning only the loss lets XLA dead-code
+            # -eliminate the whole backward pass out of the program
             loss, grads = jax.value_and_grad(batch_loss)(
                 params, rest, episode, tc, tl, tm, grad_idxs, fc)
-            return loss
+            return loss, grads
 
         return fwd, bwd
 
@@ -186,6 +196,7 @@ def main():
     def timed(name, fn, *fargs):
         for attempt in (0, 1):
             try:
+                print(f"compiling {name}...", flush=True)
                 c = jax.jit(fn).lower(*fargs).compile()
                 out = c(*fargs)
                 sync = out[1] if isinstance(out, tuple) else out
@@ -211,9 +222,7 @@ def main():
                     raise
                 print(f"retry {name}: {type(e).__name__}", flush=True)
 
-    print(f"backbone={cli.backbone} ctx={cli.ctx} tgt={cli.tgt} "
-          f"batch={cli.batch} lite={cli.lite} tail_bs={tail_bs} "
-          f"(reps={cli.reps})", flush=True)
+    print(f"tail_bs={tail_bs}", flush=True)
     t_full = timed("full", full_fn, variables, ep, key)
     t_cache = timed("cache", cache_fn, variables, ep)
     fwd, bwd = make_batch_loss(train_bn=True, collect=has_bn)
