@@ -40,6 +40,23 @@ from orbit_tpu.ops.vma import (align_vma, match_cotangent_vma,
 
 _BLOCK_B = 8
 
+# sweep harness knob (scripts/bench_vit_s32_sweep.py): a non-None value
+# forces the forward block rows regardless of model width
+_BLOCK_B_OVERRIDE = None
+
+
+def _fwd_block_rows(d: int) -> int:
+    """Forward batch-block rows, by model width (real-v5e sweep, PERF.md
+    "ViT-S/32 block-geometry sweep"): at D=384 the per-cell GEMMs are
+    half-width and 16-row blocks amortise better (+6.4% e2e on ViT-S/32,
+    with 32 rows losing again); at D>=768 the original 8 rows is the
+    measured optimum. The attention kernel keeps 8 rows everywhere — its
+    row-stacking trick pays block-diagonal score redundancy proportional
+    to the block rows, and 16 measured -13% on S/32."""
+    if _BLOCK_B_OVERRIDE is not None:
+        return _BLOCK_B_OVERRIDE
+    return _BLOCK_B if d >= 768 else 16
+
 # The backward kernel's resident f32 dW accumulators (d x 4d + 4d x d =
 # ~18.9 MB for ViT-B) plus VMEM-resident bf16 weights exceed Mosaic's
 # default 16 MB scoped-vmem budget — measured on a real v5e: 27.18 MB
@@ -99,7 +116,7 @@ def _mlp_kernel(ln_eps, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _pallas_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
                 interpret=False):
     n, s, d = x.shape
-    nb = min(_BLOCK_B, n)
+    nb = min(_fwd_block_rows(d), n)
     pad = (-n) % nb
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))

@@ -61,7 +61,7 @@ def main():
 
     results = {}
     for ab, mbb in itertools.product(cli.blocks, cli.blocks):
-        ta._BLOCK_B, mb._BLOCK_B = ab, mbb
+        ta._BLOCK_B, mb._BLOCK_B_OVERRIDE = ab, mbb
         jax.clear_caches()
         for attempt in (0, 1):
             try:
@@ -77,7 +77,7 @@ def main():
                           f"FAILED {type(e).__name__}: {e}", flush=True)
                 else:
                     print(f"retry ({type(e).__name__})", flush=True)
-    ta._BLOCK_B = mb._BLOCK_B = 8
+    ta._BLOCK_B, mb._BLOCK_B_OVERRIDE = 8, None
     if results:
         (ab, mbb), best = max(results.items(), key=lambda kv: kv[1])
         base = results.get((8, 8))
