@@ -133,9 +133,86 @@ void resize_normalize(const std::vector<uint8_t>& src, int w, int h, int size,
   }
 }
 
+// Bilinear resize RGB8 (w, h) -> (size, size) uint8 NHWC — the raw-pixel
+// variant for the uint8 wire format (normalization happens on the TPU:
+// models/recognisers.py _maybe_normalize). Same sampling as
+// resize_normalize so both paths see identical pixels.
+void resize_u8(const std::vector<uint8_t>& src, int w, int h, int size,
+               uint8_t* out) {
+  const float sx = static_cast<float>(w) / size;
+  const float sy = static_cast<float>(h) / size;
+  for (int y = 0; y < size; ++y) {
+    const float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    const float wy = fy - y0;
+    int y1 = y0 + 1;
+    if (y0 < 0) y0 = 0;
+    if (y1 > h - 1) y1 = h - 1;
+    if (y0 > h - 1) y0 = h - 1;
+    for (int x = 0; x < size; ++x) {
+      const float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = static_cast<int>(std::floor(fx));
+      const float wx = fx - x0;
+      int x1 = x0 + 1;
+      if (x0 < 0) x0 = 0;
+      if (x1 > w - 1) x1 = w - 1;
+      if (x0 > w - 1) x0 = w - 1;
+      const uint8_t* p00 = &src[(static_cast<size_t>(y0) * w + x0) * 3];
+      const uint8_t* p01 = &src[(static_cast<size_t>(y0) * w + x1) * 3];
+      const uint8_t* p10 = &src[(static_cast<size_t>(y1) * w + x0) * 3];
+      const uint8_t* p11 = &src[(static_cast<size_t>(y1) * w + x1) * 3];
+      uint8_t* dst = out + (static_cast<size_t>(y) * size + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float top = p00[c] + (p01[c] - p00[c]) * wx;
+        const float bot = p10[c] + (p11[c] - p10[c]) * wx;
+        const float v = top + (bot - top) * wy;
+        dst[c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode `n` JPEGs into out (n, size, size, 3) uint8, raw pixels (no
+// normalization — the uint8 wire format). Returns the number of failures
+// (failed slots are zero-filled).
+int orbit_decode_batch_u8(const char** paths, int n, int size,
+                          uint8_t* out, int n_threads) {
+  std::atomic<int> next(0), failures(0);
+  const size_t frame_elems = static_cast<size_t>(size) * size * 3;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> pixels;
+    int w = 0, h = 0;
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      uint8_t* dst = out + frame_elems * i;
+      if (decode_jpeg(paths[i], size, pixels, w, h)) {
+        if (w == size && h == size) {  // pre-resized benchmark layout
+          std::memcpy(dst, pixels.data(), frame_elems);
+        } else {
+          resize_u8(pixels, w, h, size, dst);
+        }
+      } else {
+        std::memset(dst, 0, frame_elems);
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  if (n_threads <= 1 || n <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    const int k = n_threads < n ? n_threads : n;
+    pool.reserve(k);
+    for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
+}
 
 // Decode `n` JPEGs into out (n, size, size, 3) float32, normalized.
 // paths: array of n C strings. Returns the number of failures (failed

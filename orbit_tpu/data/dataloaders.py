@@ -72,6 +72,9 @@ class DataLoader:
                 logfile=dataset_info.get("logfile"),
                 num_shards=num_shards,
                 shard_index=shard_index,
+                # uint8 wire format: ship raw pixels, normalize on device
+                # (models/recognisers.py _maybe_normalize)
+                raw_uint8=dataset_info.get("device_normalize", False),
             )
 
         if "train" in mode:

@@ -32,11 +32,20 @@ class FrameLoader:
     def __init__(self, frame_size: int, frame_norm_method: str, num_threads: int = 4,
                  frame2anns: Optional[Dict[str, dict]] = None,
                  annotations_to_load: Optional[List[str]] = None,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 raw_uint8: bool = False):
+        """``raw_uint8``: emit raw (N, T, H, W, 3) uint8 pixels instead of
+        host-normalized float32 — the TPU wire format. Normalization then
+        happens ON DEVICE (models/recognisers.py ``_maybe_normalize``, keyed
+        on the uint8 dtype), which quarters the host->device transfer and
+        the frame-cache footprint and removes the host float math. Pixel
+        values are identical either way (parity-tested)."""
         self.frame_size = frame_size
+        self.frame_norm_method = frame_norm_method
         stats = NORMALIZE_STATS[frame_norm_method]
         self.mean = np.asarray(stats["mean"], dtype=np.float32)
         self.std = np.asarray(stats["std"], dtype=np.float32)
+        self.raw_uint8 = raw_uint8
         self.num_threads = num_threads
         self.frame2anns = frame2anns or {}
         self.annotations_to_load = list(annotations_to_load or [])
@@ -101,28 +110,37 @@ class FrameLoader:
         return (raw - self.mean) / self.std
 
     def load_paths(self, paths: np.ndarray) -> np.ndarray:
-        """Load a flat list of frame paths -> (N, H, W, 3) float32.
+        """Load a flat list of frame paths -> (N, H, W, 3); float32
+        host-normalized, or raw uint8 in ``raw_uint8`` mode.
 
         Uses the C++ libjpeg pipeline (orbit_tpu.data.native_decoder) when
         built; falls back to the PIL thread pool otherwise (and whenever the
-        decode cache is active, which memoises PIL-decoded uint8 frames).
+        decode cache is active, which memoises decoded uint8 frames).
         """
         flat = [str(p) for p in paths.reshape(-1)]
+        frame_shape = (self.frame_size, self.frame_size, 3)
         if self.use_native and not self._cache_cap and flat:
             try:
                 from orbit_tpu.data import native_decoder
-                out = native_decoder.decode_batch(flat, self.frame_size,
-                                                  self.mean, self.std,
-                                                  n_threads=self.num_threads)
-                return out.reshape(paths.shape + (self.frame_size, self.frame_size, 3))
+                if self.raw_uint8:
+                    out = native_decoder.decode_batch_raw(
+                        flat, self.frame_size, n_threads=self.num_threads)
+                else:
+                    out = native_decoder.decode_batch(
+                        flat, self.frame_size, self.mean, self.std,
+                        n_threads=self.num_threads)
+                return out.reshape(paths.shape + frame_shape)
             except RuntimeError:
                 self.use_native = False  # fall back permanently this run
+        load_one = self._decode if self.raw_uint8 else self.load_frame
         if self._pool is not None and len(flat) > 1:
-            frames = list(self._pool.map(self.load_frame, flat))
+            frames = list(self._pool.map(load_one, flat))
         else:
-            frames = [self.load_frame(p) for p in flat]
-        out = np.stack(frames) if frames else np.zeros((0, self.frame_size, self.frame_size, 3), np.float32)
-        return out.reshape(paths.shape + (self.frame_size, self.frame_size, 3))
+            frames = [load_one(p) for p in flat]
+        dtype = np.uint8 if self.raw_uint8 else np.float32
+        out = (np.stack(frames) if frames
+               else np.zeros((0,) + frame_shape, dtype))
+        return out.reshape(paths.shape + frame_shape)
 
     def load_annotations(self, paths: np.ndarray) -> Dict[str, np.ndarray]:
         """Per-clip annotations for the last frame of each clip, NaN where

@@ -43,12 +43,26 @@ def _build() -> bool:
 
 
 def load_library():
-    """Load (building if needed) the native decoder; None if unavailable."""
+    """Load (building if needed) the native decoder; None if unavailable.
+    A stale .so (predating orbit_decode_batch_u8) is rebuilt in place."""
     global _lib, _lib_error
     if _lib is not None or _lib_error is not None:
         return _lib
     if not os.path.exists(_LIB_PATH) and not _build():
         return None
+    for _attempt in (0, 1):
+        err = _try_load()
+        if _lib is not None or _attempt or err is None:
+            break
+        if not _build():            # rebuild a stale library once
+            break
+    if _lib is None and _lib_error is None:
+        _lib_error = err or "unknown load failure"
+    return _lib
+
+
+def _try_load():
+    global _lib, _lib_error
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.orbit_decode_batch.restype = ctypes.c_int
@@ -57,10 +71,19 @@ def load_library():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
+        if not hasattr(lib, "orbit_decode_batch_u8"):
+            raise OSError("stale liborbit_decoder.so: missing "
+                          "orbit_decode_batch_u8 (rebuild via "
+                          "scripts/build_native.sh)")
+        lib.orbit_decode_batch_u8.restype = ctypes.c_int
+        lib.orbit_decode_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
         _lib = lib
+        return None
     except OSError as e:
-        _lib_error = str(e)
-    return _lib
+        return str(e)
 
 
 def native_available() -> bool:
@@ -88,6 +111,30 @@ def decode_batch(paths: Sequence[str], frame_size: int,
         mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads)
+    if failures:
+        raise RuntimeError(f"native decoder failed on {failures}/{n} frames")
+    return out
+
+
+def decode_batch_raw(paths: Sequence[str], frame_size: int,
+                     n_threads: int = 4) -> np.ndarray:
+    """Decode ``paths`` -> (N, frame_size, frame_size, 3) uint8 raw pixels
+    (the uint8 wire format — normalization happens on device,
+    models/recognisers.py ``_maybe_normalize``).
+
+    Raises RuntimeError if the native library is unavailable or any frame
+    fails to decode (callers may catch and fall back to PIL).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError(f"native decoder unavailable: {_lib_error}")
+    n = len(paths)
+    out = np.empty((n, frame_size, frame_size, 3), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    failures = lib.orbit_decode_batch_u8(
+        c_paths, n, frame_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_threads)
     if failures:
         raise RuntimeError(f"native decoder failed on {failures}/{n} frames")

@@ -52,6 +52,7 @@ class DatasetQueue:
         cluster_label_dir: str = "data",
         num_shards: int = 1,
         shard_index: int = 0,
+        raw_uint8: bool = False,
     ):
         self.index: DatasetIndex = build_index(
             root,
@@ -82,7 +83,8 @@ class DatasetQueue:
         )
         self.loader = FrameLoader(frame_size, frame_norm_method, num_threads=num_threads,
                                   frame2anns=self.index.frame2anns,
-                                  annotations_to_load=annotations_to_load)
+                                  annotations_to_load=annotations_to_load,
+                                  raw_uint8=raw_uint8)
         self.num_tasks = num_tasks
         self.shuffle = shuffle
         self.prefetch = prefetch

@@ -292,6 +292,9 @@ class MultiStepLearner:
             "num_data_threads": args.num_data_threads,
             "seed": args.seed,
             "logfile": self.logfile,
+            # uint8 wire format (device-side normalization) unless the user
+            # asked for the host-normalized float path
+            "device_normalize": not getattr(args, "host_normalize", False),
         }
         dataset_info["num_shards"], dataset_info["shard_index"] = \
             resolve_host_sharding(args)
@@ -311,6 +314,7 @@ class MultiStepLearner:
             learn_extractor=args.learn_extractor,
             logit_scale=args.logit_scale,
             dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
+            frame_norm_method=args.frame_norm_method,
         )
         self.rng, init_rng = jax.random.split(self.rng)
         self.variables = self.recogniser.init(init_rng, frame_size=args.frame_size)

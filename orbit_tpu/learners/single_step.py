@@ -42,8 +42,12 @@ from orbit_tpu.utils.optim import (get_curr_learning_rates, init_optimizer,
 def episode_to_train_dict(ep, clip_dtype=None) -> Dict[str, jnp.ndarray]:
     """Device-ready train episode; ``clip_dtype`` (e.g. ml_dtypes.bfloat16)
     casts pixels host-side so the host->device transfer is half-width when
-    the backbone computes in bf16 anyway."""
+    the backbone computes in bf16 anyway. uint8 pixels (the device-normalize
+    wire format, data/loader.py ``raw_uint8``) ship as-is — quarter-width —
+    and normalize on device (models/recognisers.py ``_maybe_normalize``)."""
     def clips(x):
+        if x.dtype == np.uint8:
+            return jnp.asarray(x)
         return jnp.asarray(x.astype(clip_dtype) if clip_dtype is not None else x)
 
     return {
@@ -105,6 +109,8 @@ class SingleStepLearner:
             self.clip_dtype = None
 
     def _clips_to_device(self, x: np.ndarray) -> jnp.ndarray:
+        if x.dtype == np.uint8:   # device-normalize wire format: ship raw
+            return jnp.asarray(x)
         return jnp.asarray(x.astype(self.clip_dtype) if self.clip_dtype is not None else x)
 
     # ----------------------------------------------------------- setup ----
@@ -140,6 +146,9 @@ class SingleStepLearner:
             "num_data_threads": args.num_data_threads,
             "seed": args.seed,
             "logfile": self.logfile,
+            # uint8 wire format (device-side normalization) unless the user
+            # asked for the host-normalized float path
+            "device_normalize": not getattr(args, "host_normalize", False),
         }
         # host-parallel loading: each host consumes a disjoint strided slice
         # of every queue's task stream (SURVEY §2.9 item 3)
@@ -167,6 +176,7 @@ class SingleStepLearner:
             num_lite_samples=args.num_lite_samples,
             logit_scale=args.logit_scale,
             dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
+            frame_norm_method=args.frame_norm_method,
         )
         self.rng, init_rng = jax.random.split(self.rng)
         self.variables = self.recogniser.init(init_rng, frame_size=args.frame_size)

@@ -209,7 +209,8 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
             # task embedding: cached reps + grad-subset recompute
             grad_frames = ctx[grad_idxs].reshape(-1, *ctx.shape[2:])
             grad_reps = recogniser.set_encoder.apply(
-                {"params": variables["params"]["set_encoder"]}, grad_frames
+                {"params": variables["params"]["set_encoder"]},
+                recogniser._maybe_normalize(grad_frames)
             ).reshape(grad_idxs.shape[0], t, -1)
             reps = caches["reps"].at[grad_idxs].set(grad_reps)
             fm = jnp.repeat(ctx_mask.astype(jnp.float32)[:, None], t, axis=1)

@@ -67,6 +67,10 @@ class FewShotRecogniser:
     num_lite_samples: int = 16
     logit_scale: float = 1.0
     dtype: Any = jnp.float32
+    # normalization stats for the uint8 wire format (see _maybe_normalize);
+    # matches the reference's per-extractor transform choice
+    # (data/datasets.py:376-431 + utils/args.py:185-190 auto-selection)
+    frame_norm_method: str = "imagenet"
 
     def __post_init__(self):
         module, output_size, film_spec = create_feature_extractor(
@@ -100,6 +104,26 @@ class FewShotRecogniser:
         return {"params": params, **collections}
 
     # -------------------------------------------------- feature extraction ----
+    def _maybe_normalize(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Device-side pixel normalization, keyed on dtype at TRACE time.
+
+        The uint8 wire format ships raw pixels (data/loader.py
+        ``raw_uint8``) — 4x fewer host->device bytes than float32 and 2x
+        fewer than bf16 — and this applies the reference's transform
+        ((x/255 - mean) / std, data/datasets.py:422-431) on device, where
+        XLA fuses it into the first conv's input pipeline. Float inputs
+        pass through untouched (the host-normalized path, and every test/
+        bench that feeds pre-normalized arrays). The result is cast to the
+        backbone compute dtype, exactly like the host path's wire cast."""
+        if frames.dtype != jnp.uint8:
+            return frames
+        from orbit_tpu.data.index import NORMALIZE_STATS
+        stats = NORMALIZE_STATS[self.frame_norm_method]
+        mean = jnp.asarray(stats["mean"], jnp.float32)
+        std = jnp.asarray(stats["std"], jnp.float32)
+        x = frames.astype(jnp.float32) / 255.0
+        return ((x - mean) / std).astype(self.dtype)
+
     def _extractor_vars(self, variables, film_values):
         p = apply_film(variables["params"]["extractor"], film_values)
         out = {"params": p}
@@ -135,13 +159,18 @@ class FewShotRecogniser:
             mask = frame_mask.astype(jnp.float32)
 
         def run(chunk, m=None):
-            out = self.extractor.apply(ex_vars, chunk, train=train, mask=m,
+            # per-chunk device normalization (uint8 wire): the full episode
+            # stays uint8 in HBM; only the live chunk expands to the
+            # compute dtype, preserving the chunking's memory bound
+            out = self.extractor.apply(ex_vars, self._maybe_normalize(chunk),
+                                       train=train, mask=m,
                                        **({"mutable": ["batch_stats"]} if train else {}))
             return out[0] if train else out
 
         def run_stateful(stats, chunk, m=None):
             out, mut = self.extractor.apply(
-                {**ex_vars, "batch_stats": stats}, chunk, train=True, mask=m,
+                {**ex_vars, "batch_stats": stats},
+                self._maybe_normalize(chunk), train=True, mask=m,
                 mutable=["batch_stats"])
             return jax.lax.stop_gradient(mut["batch_stats"]), out
 
@@ -207,7 +236,8 @@ class FewShotRecogniser:
         n = frames.shape[0]
         b = min(self.batch_size, n)
         run = lambda chunk: self.set_encoder.apply(
-            {"params": variables["params"]["set_encoder"]}, chunk)
+            {"params": variables["params"]["set_encoder"]},
+            self._maybe_normalize(chunk))
         if n <= b:
             return run(frames)
         n_pad = _round_up(n, b)
@@ -320,8 +350,8 @@ class SingleStepFewShotRecogniser(FewShotRecogniser):
                 self._encode_set_frames(variables, frames)).reshape(n, t, -1)
             grad_frames = context_clips[grad_idxs].reshape(L * t, *context_clips.shape[2:])
             grad_reps = self.set_encoder.apply(
-                {"params": variables["params"]["set_encoder"]}, grad_frames
-            ).reshape(L, t, -1)
+                {"params": variables["params"]["set_encoder"]},
+                self._maybe_normalize(grad_frames)).reshape(L, t, -1)
             reps = reps.at[grad_idxs].set(grad_reps)
             frame_mask = jnp.repeat(context_mask.astype(jnp.float32)[:, None], t, axis=1)
             emb = (reps * frame_mask[..., None]).sum(axis=(0, 1)) / jnp.maximum(

@@ -163,6 +163,14 @@ def build_parser(learner: str = "default") -> argparse.ArgumentParser:
                              "(and, with --batch_videos, its stacked query "
                              "block) resident in HBM; ragged-bucket query "
                              "videos always transfer one at a time.")
+    parser.add_argument("--host_normalize", action="store_true",
+                        help="Normalize pixels on the host (the reference's "
+                             "transform placement, data/datasets.py:422-431) "
+                             "instead of the default uint8 wire format + "
+                             "on-device normalization. Pixel values are "
+                             "identical either way; the default quarters "
+                             "host->device transfer bytes and the "
+                             "--frame_cache footprint.")
     parser.add_argument("--frame_cache", type=int, default=0,
                         help="Memoise up to N decoded frames across tasks in the "
                              "test/validation loaders. The CLU-VE protocol samples 50 "

@@ -99,10 +99,14 @@ def test_single_step_train_no_lite(orbit_root, tmp_path):
     args = make_args(orbit_root, str(tmp_path / "ckpt"), mode="train",
                      adapt_features=True, classifier="proto")
     learner = SingleStepLearner(args)
-    before = learner.variables["params"]["film_generator"]
+    import jax
+    # snapshot to host: apply_update DONATES the old param buffers
+    # (steps.build_apply_update), so the original device arrays are deleted
+    # after the first optimiser step
+    before = jax.tree_util.tree_map(
+        np.asarray, learner.variables["params"]["film_generator"])
     learner.run()
     after = learner.variables["params"]["film_generator"]
-    import jax
     diffs = jax.tree_util.tree_map(lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()),
                                    before, after)
     assert max(jax.tree_util.tree_leaves(diffs)) > 0, "film generator params did not update"
