@@ -46,16 +46,16 @@ _BLOCK_B_OVERRIDE = None
 
 
 def _fwd_block_rows(d: int) -> int:
-    """Forward batch-block rows, by model width (real-v5e sweep, PERF.md
-    "ViT-S/32 block-geometry sweep"): at D=384 the per-cell GEMMs are
-    half-width and 16-row blocks amortise better (+6.4% e2e on ViT-S/32,
-    with 32 rows losing again); at D>=768 the original 8 rows is the
-    measured optimum. The attention kernel keeps 8 rows everywhere — its
-    row-stacking trick pays block-diagonal score redundancy proportional
-    to the block rows, and 16 measured -13% on S/32."""
+    """Forward batch-block rows (real-v5e sweep, PERF.md "ViT-S/32
+    block-geometry sweep"): 8 rows everywhere. At D=384 a single sweep
+    reading suggested 16 rows won +6.4%, but a 3-rep alternating A/B read
+    8 vs 16 at parity within the tunnel's ~2% run-to-run noise — so the
+    uniform 8 stands. 32 rows exceeds the forward VMEM budget on the
+    attention side, and 16-row ATTENTION blocks measurably lose 13%
+    (block-diagonal score redundancy doubles)."""
     if _BLOCK_B_OVERRIDE is not None:
         return _BLOCK_B_OVERRIDE
-    return _BLOCK_B if d >= 768 else 16
+    return _BLOCK_B
 
 # The backward kernel's resident f32 dW accumulators (d x 4d + 4d x d =
 # ~18.9 MB for ViT-B) plus VMEM-resident bf16 weights exceed Mosaic's
