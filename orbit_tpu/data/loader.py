@@ -80,6 +80,15 @@ class FrameLoader:
                 self.cache_hits = self.cache_misses = 0
         return out
 
+    def _decode_pil(self, path: str) -> np.ndarray:
+        """One frame -> uint8, PIL path (no cache interaction)."""
+        with Image.open(path) as im:
+            if im.mode != "RGB":
+                im = im.convert("RGB")
+            if im.size != (self.frame_size, self.frame_size):
+                im = im.resize((self.frame_size, self.frame_size), Image.LANCZOS)
+            return np.asarray(im, dtype=np.uint8)
+
     def _decode(self, path: str) -> np.ndarray:
         if self._cache_cap:
             with self._cache_lock:
@@ -89,12 +98,7 @@ class FrameLoader:
                     self.cache_hits += 1
                     return cached
                 self.cache_misses += 1
-        with Image.open(path) as im:
-            if im.mode != "RGB":
-                im = im.convert("RGB")
-            if im.size != (self.frame_size, self.frame_size):
-                im = im.resize((self.frame_size, self.frame_size), Image.LANCZOS)
-            decoded = np.asarray(im, dtype=np.uint8)
+        decoded = self._decode_pil(path)
         if self._cache_cap:
             with self._cache_lock:
                 self._cache[path] = decoded
@@ -102,6 +106,58 @@ class FrameLoader:
                 while len(self._cache) > self._cache_cap:
                     self._cache.popitem(last=False)
         return decoded
+
+    def _decode_many(self, paths: List[str]) -> List[np.ndarray]:
+        """Decode a path list -> uint8 frames, through the LRU cache, with
+        cache MISSES batch-decoded by the native C++ pipeline.
+
+        Before round 5 an active --frame_cache forced every miss through
+        per-frame PIL (the native path emitted normalized float32, which
+        the uint8 cache could not hold); decode_batch_raw emits exactly the
+        cache's storage format, so a cold user's ~2k-frame working set now
+        decodes natively (DCT-prescaled, C++ threads — no GIL) and only the
+        cache bookkeeping stays in Python."""
+        out: List[Optional[np.ndarray]] = [None] * len(paths)
+        misses: List[int] = []
+        if self._cache_cap:
+            with self._cache_lock:
+                for i, p in enumerate(paths):
+                    cached = self._cache.get(p)
+                    if cached is not None:
+                        self._cache.move_to_end(p)
+                        self.cache_hits += 1
+                        out[i] = cached
+                    else:
+                        self.cache_misses += 1
+                        misses.append(i)
+        else:
+            misses = list(range(len(paths)))
+        if not misses:
+            return out
+        miss_paths = [paths[i] for i in misses]
+        frames = None
+        if self.use_native:
+            try:
+                from orbit_tpu.data import native_decoder
+                frames = native_decoder.decode_batch_raw(
+                    miss_paths, self.frame_size, n_threads=self.num_threads)
+            except RuntimeError:
+                self.use_native = False  # fall back permanently this run
+        if frames is None:
+            if self._pool is not None and len(miss_paths) > 1:
+                frames = list(self._pool.map(self._decode_pil, miss_paths))
+            else:
+                frames = [self._decode_pil(p) for p in miss_paths]
+        for i, f in zip(misses, frames):
+            out[i] = np.asarray(f)
+        if self._cache_cap:
+            with self._cache_lock:
+                for i in misses:
+                    self._cache[paths[i]] = out[i]
+                    self._cache.move_to_end(paths[i])
+                while len(self._cache) > self._cache_cap:
+                    self._cache.popitem(last=False)
+        return out
 
     def load_frame(self, path: str) -> np.ndarray:
         """(H, W, 3) float32, scaled to [0,1] then channel-normalised
@@ -119,27 +175,25 @@ class FrameLoader:
         """
         flat = [str(p) for p in paths.reshape(-1)]
         frame_shape = (self.frame_size, self.frame_size, 3)
-        if self.use_native and not self._cache_cap and flat:
+        if self.use_native and not self._cache_cap and flat and not self.raw_uint8:
+            # cache off + float mode: the fused C++ decode->normalize path
             try:
                 from orbit_tpu.data import native_decoder
-                if self.raw_uint8:
-                    out = native_decoder.decode_batch_raw(
-                        flat, self.frame_size, n_threads=self.num_threads)
-                else:
-                    out = native_decoder.decode_batch(
-                        flat, self.frame_size, self.mean, self.std,
-                        n_threads=self.num_threads)
+                out = native_decoder.decode_batch(
+                    flat, self.frame_size, self.mean, self.std,
+                    n_threads=self.num_threads)
                 return out.reshape(paths.shape + frame_shape)
             except RuntimeError:
                 self.use_native = False  # fall back permanently this run
-        load_one = self._decode if self.raw_uint8 else self.load_frame
-        if self._pool is not None and len(flat) > 1:
-            frames = list(self._pool.map(load_one, flat))
-        else:
-            frames = [load_one(p) for p in flat]
+        # uint8 route (raw mode, and any cached mode): cache-aware with
+        # native batch decode of the misses
+        frames = self._decode_many(flat)
         dtype = np.uint8 if self.raw_uint8 else np.float32
-        out = (np.stack(frames) if frames
-               else np.zeros((0,) + frame_shape, dtype))
+        if not frames:
+            return np.zeros(paths.shape + frame_shape, dtype)
+        out = np.stack(frames)
+        if not self.raw_uint8:
+            out = (out.astype(np.float32) / 255.0 - self.mean) / self.std
         return out.reshape(paths.shape + frame_shape)
 
     def load_annotations(self, paths: np.ndarray) -> Dict[str, np.ndarray]:

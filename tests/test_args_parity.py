@@ -21,7 +21,7 @@ EXTRA_FLAGS = {
     "--data_parallel", "--task_parallel", "--num_hosts", "--host_index",
     "--resume_from", "--compute_dtype", "--frame_cache", "--batch_videos",
     "--no-batch_videos", "--metrics", "--profile_dir", "--num_data_threads",
-    "--prefetch_tasks", "--episode_prefetch",
+    "--prefetch_tasks", "--episode_prefetch", "--host_normalize",
     "--pretrained_extractor_path", "--compile_cache",
 }
 
