@@ -381,6 +381,41 @@ def test_frame_cache_lru_eviction(orbit_fixture_tree):
     assert len(loader._cache) <= 8
 
 
+@pytest.mark.parametrize("use_native", [False, None])
+def test_frame_cache_batch_miss_decode(orbit_fixture_tree, use_native):
+    """_decode_many (the --frame_cache batch path, round 5): mixed hit/miss
+    lists must return PIL-identical pixels in input order, count hits/misses
+    exactly, and keep the LRU bounded — whether misses batch-decode through
+    the native C++ pipeline (use_native=None auto) or per-frame PIL."""
+    idx = build_index(orbit_fixture_tree)
+    videos = sorted(idx.vid2frames)
+    paths = [p for v in videos[:3] for p in idx.vid2frames[v][:4]]  # 12 frames
+
+    ref = FrameLoader(frame_size=32, frame_norm_method="imagenet",
+                      num_threads=1, use_native=False, raw_uint8=True)
+    expect = {p: ref._decode_pil(p) for p in paths}
+
+    loader = FrameLoader(frame_size=32, frame_norm_method="imagenet",
+                         num_threads=2, use_native=use_native, raw_uint8=True)
+    loader.enable_cache(max_frames=8)
+
+    # cold: all misses, batch-decoded
+    out = loader._decode_many(paths[:6])
+    for p, f in zip(paths[:6], out):
+        np.testing.assert_array_equal(f, expect[p])
+    hits, misses = loader.cache_stats(reset=True)
+    assert (hits, misses) == (0, 6)
+
+    # warm + new, interleaved: 6 hits, 6 misses, order preserved
+    mixed = [p for pair in zip(paths[:6], paths[6:]) for p in pair]
+    out = loader._decode_many(mixed)
+    for p, f in zip(mixed, out):
+        np.testing.assert_array_equal(f, expect[p])
+    hits, misses = loader.cache_stats(reset=True)
+    assert (hits, misses) == (6, 6)
+    assert len(loader._cache) <= 8
+
+
 # --------------------------------------------------- prefetch_prepared ----
 def test_prefetch_prepared_order_and_equivalence():
     """The host/device pipeline stage (data/episodes.py prefetch_prepared,
