@@ -137,12 +137,17 @@ class FrameLoader:
         miss_paths = [paths[i] for i in misses]
         frames = None
         if self.use_native:
+            from orbit_tpu.data import native_decoder
             try:
-                from orbit_tpu.data import native_decoder
                 frames = native_decoder.decode_batch_raw(
                     miss_paths, self.frame_size, n_threads=self.num_threads)
             except RuntimeError:
-                self.use_native = False  # fall back permanently this run
+                # only a MISSING library degrades native permanently; a
+                # per-frame decode failure (corrupt JPEG) must not demote a
+                # multi-hour run to PIL speed — retry this batch through PIL,
+                # which raises the standard per-frame error on the bad file
+                if not native_decoder.native_available():
+                    self.use_native = False
         if frames is None:
             if self._pool is not None and len(miss_paths) > 1:
                 frames = list(self._pool.map(self._decode_pil, miss_paths))
@@ -153,7 +158,11 @@ class FrameLoader:
         if self._cache_cap:
             with self._cache_lock:
                 for i in misses:
-                    self._cache[paths[i]] = out[i]
+                    f = out[i]
+                    # a native-batch row is a VIEW into the whole (N,H,W,3)
+                    # buffer; caching it would pin ~N frames of memory for as
+                    # long as one frame stays in the LRU — store a copy
+                    self._cache[paths[i]] = f.copy() if f.base is not None else f
                     self._cache.move_to_end(paths[i])
                 while len(self._cache) > self._cache_cap:
                     self._cache.popitem(last=False)

@@ -216,6 +216,18 @@ class DatasetQueue:
                     continue
             return False
 
+        def get(q):
+            # stop-aware, like put(): an abandoning consumer drains the
+            # queues BEFORE the plan stage's sentinel lands, so a bare
+            # blocking get here would strand this thread forever (round-5
+            # review finding)
+            while not stop.is_set():
+                try:
+                    return q.get(timeout=0.1)
+                except _queue.Empty:
+                    continue
+            return _SENTINEL
+
         def plan_stage():
             try:
                 for item, k in annotated:
@@ -232,7 +244,7 @@ class DatasetQueue:
         def decode_stage():
             try:
                 while not stop.is_set():
-                    got = plans.get()
+                    got = get(plans)
                     if got is _SENTINEL:
                         return
                     if isinstance(got, BaseException):
@@ -245,8 +257,10 @@ class DatasetQueue:
             finally:
                 put(out, _SENTINEL)
 
-        threads = [threading.Thread(target=plan_stage, daemon=True),
-                   threading.Thread(target=decode_stage, daemon=True)]
+        threads = [threading.Thread(target=plan_stage, daemon=True,
+                                    name="orbit-plan-stage"),
+                   threading.Thread(target=decode_stage, daemon=True,
+                                    name="orbit-decode-stage")]
         for t in threads:
             t.start()
         try:

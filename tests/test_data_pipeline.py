@@ -566,3 +566,18 @@ def test_queue_get_tasks_abandonment_stops_producer(orbit_fixture_tree):
     _time.sleep(0.8)
     assert len(calls) == n, "producer kept decoding after close"
     assert n < 100, "producer decoded the whole epoch ahead of a dead consumer"
+
+    # both stage threads must actually EXIT — a thread stranded in a bare
+    # queue get() also stops decoding, which the counters above can't see
+    # (round-5 review finding: the decode stage blocked forever when the
+    # consumer's drain beat the plan stage's sentinel)
+    import threading as _threading
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        stuck = [t for t in _threading.enumerate()
+                 if t.name in ("orbit-plan-stage", "orbit-decode-stage")
+                 and t.is_alive()]
+        if not stuck:
+            break
+        _time.sleep(0.05)
+    assert not stuck, f"stage threads leaked after close: {stuck}"
