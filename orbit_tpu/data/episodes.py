@@ -37,6 +37,18 @@ def bucket_size(n: int, buckets: Sequence[int] = SIZE_BUCKETS) -> int:
     raise ValueError(f"{n} exceeds the largest bucket {buckets[-1]}")
 
 
+def _as_clip_array(clips) -> np.ndarray:
+    """Pixels as float32 — EXCEPT the uint8 wire format, which must survive
+    padding untouched: device-side normalization (models/recognisers.py
+    ``_maybe_normalize``) keys on the uint8 dtype, so a host-side float cast
+    here would silently ship raw 0..255 values that nothing ever normalizes
+    (round-5 review finding)."""
+    arr = np.asarray(clips)
+    if arr.dtype == np.uint8:
+        return arr
+    return arr.astype(np.float32, copy=False)
+
+
 def pad_rows(arr: np.ndarray, target: int, fill=0) -> np.ndarray:
     if arr.shape[0] == target:
         return arr
@@ -70,7 +82,7 @@ def pad_episode(task: Dict, max_way: int = MAX_WAY,
                 video_buckets: Sequence[int] = VIDEO_BUCKETS) -> Episode:
     """Pad a loader ``task_dict`` (orbit_tpu.data.loader.load_task) into a
     fixed-shape Episode."""
-    ctx = np.asarray(task["context_clips"], np.float32)
+    ctx = _as_clip_array(task["context_clips"])
     labels = np.asarray(task["context_labels"], np.int64)
     way = int(labels.max()) + 1 if labels.size else 0
     n_bucket = bucket_size(ctx.shape[0], size_buckets)
@@ -101,12 +113,12 @@ def pad_episode(task: Dict, max_way: int = MAX_WAY,
         episode.video_labels = [int(l) for l in task["target_labels"]]
         episode.video_paths = list(task["target_paths"])
         for video in target:
-            v = np.asarray(video, np.float32)
+            v = _as_clip_array(video)
             f_bucket = bucket_size(v.shape[0], video_buckets)
             episode.video_frames.append(pad_rows(v, f_bucket))
             episode.video_masks.append(pad_rows(np.ones(v.shape[0], np.float32), f_bucket))
     elif target is not None:                          # train mode: flat
-        tgt = np.asarray(target, np.float32)
+        tgt = _as_clip_array(target)
         t_labels = np.asarray(task["target_labels"], np.int64).astype(np.int32)
         m_bucket = bucket_size(tgt.shape[0], size_buckets)
         episode.target_clips = pad_rows(tgt, m_bucket)

@@ -91,6 +91,19 @@ class OpsCounter:
         self.task_params_counter += int(params)
 
     def _flops_for(self, key: str, fn: Callable, args, kwargs) -> float:
+        # the uint8 wire format lowers with the device-side normalize fused
+        # in (models/recognisers.py _maybe_normalize keys on dtype); the
+        # reference's MACs boundary is model compute on ALREADY-normalized
+        # pixels (its thop hooks see the DataLoader's float output,
+        # reference utils/ops_counter.py:79-85), so analyse at a float32
+        # signature — "MACs to personalise" is then identical across
+        # --host_normalize settings and comparable to the reference
+        def promote(x):
+            if getattr(x, "dtype", None) == np.uint8:
+                return jax.ShapeDtypeStruct(x.shape, np.float32)
+            return x
+
+        args, kwargs = jax.tree_util.tree_map(promote, (args, kwargs))
         shapes = tuple(
             (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))))
             for a in jax.tree_util.tree_leaves((args, kwargs))

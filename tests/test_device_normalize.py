@@ -88,6 +88,65 @@ def test_recogniser_logits_parity_uint8_vs_float(dtype):
     np.testing.assert_allclose(lu, lf, rtol=2e-5, atol=2e-5)
 
 
+def test_uint8_survives_pad_and_logits_match_host_normalize():
+    """The uint8 wire must survive ``pad_episode`` (round-5 review finding:
+    an unconditional float32 cast there silently shipped raw 0..255 values
+    that nothing ever normalized — the dtype IS the normalize-on-device
+    signal, so padding must preserve it end-to-end) and the padded episode's
+    logits must match the host-normalized float path on non-trivial pixels."""
+    from orbit_tpu.data.episodes import pad_episode
+    from orbit_tpu.learners import steps as steps_lib
+    from orbit_tpu.learners.single_step import episode_to_train_dict
+
+    rng = np.random.default_rng(0)
+    ctx = rng.integers(0, 256, (4, 1, 16, 16, 3), np.uint8)
+    tgt = rng.integers(0, 256, (6, 1, 16, 16, 3), np.uint8)
+    task_u8 = {
+        "context_clips": ctx, "context_labels": np.array([0, 0, 1, 1]),
+        "target_clips": tgt, "target_labels": np.array([0, 1, 0, 1, 0, 1]),
+    }
+    stats = NORMALIZE_STATS["imagenet"]
+    mean = np.asarray(stats["mean"], np.float32)
+    std = np.asarray(stats["std"], np.float32)
+    task_f32 = dict(task_u8,
+                    context_clips=(ctx.astype(np.float32) / 255.0 - mean) / std,
+                    target_clips=(tgt.astype(np.float32) / 255.0 - mean) / std)
+
+    ep, ep_f = pad_episode(task_u8), pad_episode(task_f32)
+    # dtype preserved host-side, and all the way into the device dict
+    assert ep.context_clips.dtype == np.uint8
+    assert ep.target_clips.dtype == np.uint8
+    assert ep_f.context_clips.dtype == np.float32
+    dev = episode_to_train_dict(ep)
+    assert dev["context_clips"].dtype == jnp.uint8
+    assert dev["target_clips"].dtype == jnp.uint8
+
+    # test-mode per-video frames too
+    task_test = {
+        "context_clips": ctx, "context_labels": np.array([0, 0, 1, 1]),
+        "target_clips": [tgt[:, 0]], "target_labels": [1],
+        "target_paths": [np.array(["p"] * 6)],
+    }
+    assert pad_episode(task_test).video_frames[0].dtype == np.uint8
+
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", classifier="proto",
+        batch_size=8)
+    variables = jax.jit(lambda k: rec.init(k, 16))(jax.random.PRNGKey(0))
+    pers, pred = steps_lib.build_eval_fns(rec)
+
+    def logits(e):
+        state = pers(variables, jnp.asarray(e.context_clips),
+                     jnp.asarray(e.context_labels),
+                     jnp.asarray(e.context_mask), jnp.asarray(e.class_mask))
+        return pred(variables, state, jnp.asarray(e.target_clips),
+                    jnp.asarray(e.class_mask))
+
+    np.testing.assert_allclose(np.asarray(logits(ep)),
+                               np.asarray(logits(ep_f)),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_driver_results_identical_host_vs_device_normalize(
         orbit_fixture_tree, tmp_path_factory):
     from tests.test_learners import make_args
