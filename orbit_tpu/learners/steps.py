@@ -297,7 +297,11 @@ def build_train_task_lite(recogniser: SingleStepFewShotRecogniser, args,
         nb = (m + batch_size - 1) // batch_size
         tail_rows = m - (nb - 1) * batch_size          # in (0, batch_size]
         tail_bs = min(batch_size, _round_up(tail_rows, 8))
-        full = nb if tail_bs == batch_size else nb - 1  # full-size batches
+        # the tail joins the scan only when it is EXACTLY batch_size rows;
+        # a smaller tail always takes the padded-tail branch, even when
+        # _round_up lands on batch_size (batch_size < 8 or within 8 of it —
+        # treating that as "full" would reshape rows that don't exist)
+        full = nb if tail_rows == batch_size else nb - 1  # full-size batches
         rngs = jax.random.split(rng, nb)
 
         grad_fn = jax.value_and_grad(batch_loss_fn, has_aux=True)

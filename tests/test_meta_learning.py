@@ -76,6 +76,34 @@ def test_lite_grads_equal_full_backprop_at_full_subset():
             f"{jax.tree_util.keystr(key)}: max diff {np.abs(a - b).max()} vs tol {tol}"
 
 
+@pytest.mark.parametrize("batch_size", [3, 5, 6, 7])
+def test_lite_small_batch_size_tail(batch_size):
+    """Regression (round-5 review): a tail batch with fewer rows than
+    ``batch_size`` whose 8-row round-up lands ON ``batch_size`` used to be
+    misclassified as a full scan batch, reshaping rows that don't exist
+    (trace-time crash for every --batch_size in {3,5,6,7} against a 16-row
+    target bucket). The tail must run through the padded-tail branch."""
+    m = 16
+    args = SimpleNamespace(tasks_per_batch=1, learn_extractor=True,
+                           with_lite=True, num_lite_samples=4,
+                           batch_size=batch_size,
+                           optimizer="adam", learning_rate=1e-3,
+                           weight_decay=0.0, betas=(0.9, 0.999), epsilon=1e-8)
+    rec = SingleStepFewShotRecogniser(
+        feature_extractor_name="efficientnet_b0", classifier="proto",
+        batch_size=batch_size, learn_extractor=True, num_lite_samples=4)
+    variables = rec.init(jax.random.PRNGKey(0), frame_size=32)
+    rng = np.random.default_rng(5)
+    ep = {k: jnp.asarray(v) for k, v in
+          colour_episode(rng, way=3, n_ctx=8, n_tgt=m).items()}
+    task_fn = steps_lib.build_train_task_lite(rec, args)
+    grads, loss, logits, _ = task_fn(variables, ep, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert logits.shape[0] == m
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
 @pytest.mark.parametrize("with_lite", [False, True])
 def test_meta_training_reduces_loss(with_lite):
     # cosine head: scale-invariant logits so CE starts near ln(way) and the
