@@ -183,7 +183,11 @@ class TaskBatchedEval:
 
     def __init__(self, recogniser, dp: int):
         self.dp = dp
-        personalise_one, predict_one = _eval_task_fns(recogniser)
+        self._wrap(*_eval_task_fns(recogniser))
+
+    def _wrap(self, personalise_one, predict_one):
+        """One place for the vmap axes + jit options (TaskBatchedFineTune
+        shares it, so the two single-device paths cannot drift)."""
         self._personalise = jax.jit(jax.vmap(
             personalise_one, in_axes=(None, 0, 0, 0, 0)))
         self._predict = jax.jit(jax.vmap(
@@ -240,9 +244,4 @@ class TaskBatchedFineTune(TaskBatchedEval):
         from orbit_tpu.learners.multi_step import build_finetune_fns
 
         self.dp = dp
-        personalise_one, predict_one = build_finetune_fns(
-            recogniser, args, jit=False)
-        self._personalise = jax.jit(jax.vmap(
-            personalise_one, in_axes=(None, 0, 0, 0, 0)))
-        self._predict = jax.jit(jax.vmap(
-            predict_one, in_axes=(None, 0, 0, 0)))
+        self._wrap(*build_finetune_fns(recogniser, args, jit=False))
